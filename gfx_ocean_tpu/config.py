@@ -1,0 +1,143 @@
+"""Configuration for the TPU-native ocean simulation framework.
+
+Everything that is a compile-time constant or GLSL literal in the reference
+(gfx-rs/gfx-ocean) becomes an explicit config field here:
+
+- ``resolution`` / ``domain_size``: reference ``src/render.rs:42-46``
+  (WORKGROUP_SIZE=16 * WORKGROUP_NUM=32 = RESOLUTION 512, DOMAIN_SIZE 1000.0).
+- ``mesh_resolution``: reference HALF_RESOLUTION=128 (``src/render.rs:44``).
+- visual scales: reference ``shader/ocean.vert:22-23`` (y /= 3.0, xz /= 3.5)
+  and ``shader/ocean.frag:19`` (height_scale = 180).
+- compat flags: behavioral quirks catalogued in SURVEY.md §2.4 (Q1/Q2 and the
+  non-conjugated Hermitian pairing of ``shader/propagate.comp:55-62``).
+
+The config is a frozen dataclass so it can be closed over by ``jax.jit``'d
+functions as static data (hashable; shapes and branches are compile-time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CompatFlags:
+    """Bit-parity switches for reference quirks (SURVEY.md §2.4).
+
+    wrap_k:
+        Q1 — reference ``shader/propagate.comp:45-46`` computes the centered
+        wavenumber ``2i - N - 1`` in *unsigned* 32-bit arithmetic, so texels
+        with ``i <= N/2`` wrap to ~2**32 and the normalized choppy direction
+        degenerates. ``False`` (default) uses the intended signed math;
+        ``True`` replicates the wraparound bit-for-bit (uint32 mod 2**32,
+        then float32 conversion).
+    ref_sign:
+        Q2 — reference ``shader/correction.comp:29`` applies ``-1`` when
+        ``(x + y)`` is even (a global sign flip of the canonical
+        ``(-1)**(x+y)`` centering fix-up). ``True`` (default) matches the
+        reference; ``False`` uses the canonical convention.
+    conj_neg:
+        The reference's Hermitian pairing ``shader/propagate.comp:55-62``
+        evolves ``h = h0[k]*e^{iwt} + h0[-k]*e^{-iwt}`` *without* conjugating
+        ``h0[-k]`` (canonical Tessendorf uses ``conj(h0(-k))``, which makes
+        the spectrum Hermitian and the field exactly real). ``False``
+        (default) matches the reference; ``True`` uses the canonical form.
+    """
+
+    wrap_k: bool = False
+    ref_sign: bool = True
+    conj_neg: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class OceanConfig:
+    """Static parameters of the ocean simulation.
+
+    The reference hardcodes N=512 in four kernels (SURVEY.md §2.4 Q6); here
+    the resolution is a first-class parameter and all kernels are generated
+    for any power-of-two N.
+    """
+
+    # --- simulation grid (reference src/render.rs:42-46) ---
+    resolution: int = 512
+    domain_size: float = 1000.0
+
+    # --- FFT implementation ---
+    # "matmul": DFT-as-matmul on the MXU (direct W@X@W for N<=1024,
+    #           four-step Cooley-Tukey decomposition above).
+    # "xla":    jnp.fft.ifft2 (XLA FFT HLO) — golden / fallback path.
+    # "pallas": fused single-kernel Pallas step (VMEM-resident).
+    fft_impl: str = "matmul"
+    # Largest N for which a direct dense DFT matrix is used by the matmul
+    # path; above this the four-step N = N1*N2 split kicks in.
+    direct_dft_max: int = 1024
+
+    # --- numerics ---
+    # The 1e-4 L-inf target (BASELINE.json) leaves no room for bf16 in the
+    # butterflies; matmuls run at HIGHEST precision (f32-equivalent on MXU).
+    dtype: str = "float32"
+
+    # --- quirk compatibility (SURVEY.md §2.4) ---
+    compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
+
+    # --- outputs ---
+    compute_normals: bool = True
+    compute_foam: bool = False
+    # Foam/whitecap threshold on the Jacobian determinant of the horizontal
+    # displacement map (BASELINE.json config 4).
+    foam_threshold: float = 0.6
+    # Horizontal displacement scale used in the Jacobian (choppiness).
+    foam_lambda: float = 1.0
+
+    # --- visual scales (reference shader/ocean.vert:22-23, ocean.frag:19) ---
+    height_div: float = 3.0
+    horiz_div: float = 3.5
+    normal_height_scale: float = 180.0
+
+    # --- render mesh (reference src/render.rs:44, :473-605) ---
+    mesh_resolution: int = 128
+    num_patches: int = 4
+
+    # --- cascades (BASELINE.json config 4) ---
+    num_cascades: int = 1
+    # Per-cascade physical domain sizes; ``None`` derives a geometric ladder
+    # from ``domain_size`` (L, L/4, L/16, ...).
+    cascade_domains: Optional[Tuple[float, ...]] = None
+
+    def __post_init__(self):
+        n = self.resolution
+        if n & (n - 1) != 0 or n < 16:
+            raise ValueError(f"resolution must be a power of two >= 16, got {n}")
+        if self.fft_impl not in ("matmul", "xla", "pallas"):
+            raise ValueError(f"unknown fft_impl {self.fft_impl!r}")
+        if self.cascade_domains is not None and len(self.cascade_domains) != self.num_cascades:
+            raise ValueError("cascade_domains length must equal num_cascades")
+
+    @property
+    def domains(self) -> Tuple[float, ...]:
+        if self.cascade_domains is not None:
+            return self.cascade_domains
+        return tuple(self.domain_size / (4.0 ** i) for i in range(self.num_cascades))
+
+
+@dataclasses.dataclass(frozen=True)
+class PhillipsConfig:
+    """Runtime spectrum synthesis parameters (BASELINE.json config 3).
+
+    The reference ships precomputed ``data/spectrum.bin`` / ``data/omega.bin``
+    (generator not in the repo — SURVEY.md §3.4); these parameters drive our
+    regeneration path: the Phillips spectrum
+    ``P(k) = A * exp(-1/(k L_w)^2) / k^4 * |k_hat . w_hat|^2`` with
+    ``L_w = V^2 / g`` and deep-water dispersion ``omega = sqrt(g |k|)``.
+    """
+
+    amplitude: float = 3.0e-7
+    wind_speed: float = 31.0
+    wind_direction: Tuple[float, float] = (1.0, 0.0)
+    gravity: float = 9.81
+    # Suppress waves shorter than this factor of the domain (stability).
+    small_wave_cutoff: float = 1.0e-3
+    # Exponent on the directional term |k_hat . w_hat|; 2 is classic Phillips.
+    directional_power: float = 2.0
+    seed: int = 0

@@ -1,0 +1,182 @@
+"""The ocean model: a pure, jittable ``step`` and scanned rollouts.
+
+This replaces the reference's entire host orchestration layer — descriptor
+sets, command buffers, the 8-dispatch frame graph and its pipeline barriers
+(``src/render.rs:1122-1362``), and the 3-frames-in-flight machinery
+(``src/lib.rs:86``, ``src/render.rs:159-172``) — with:
+
+    fields = step(state, t)                  # one frame, pure, jit-able
+    traj   = rollout(state, ts)              # lax.scan = frames in flight
+    multi  = vmap(step, (0, None))           # cascades / batched patches
+
+State is time-invariant (h0, omega) exactly as in the reference (SURVEY.md
+§5: the sim is stateless in time — h(t) is computed directly from h0 and
+absolute t, ``src/render.rs:1107-1111``), which *is* the checkpoint system:
+serialize (h0, omega, t) and resume anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfx_ocean_tpu.config import OceanConfig, PhillipsConfig
+from gfx_ocean_tpu.ops.derived import correction, finite_difference_normals, jacobian_foam
+from gfx_ocean_tpu.ops.fft import ifft2_unnorm
+from gfx_ocean_tpu.ops.propagate import propagate
+from gfx_ocean_tpu.utils.complexpair import pair_to_complex, to_pair
+
+
+class OceanState(NamedTuple):
+    """Time-invariant simulation state (the reference's uploaded buffers,
+    ``src/render.rs:608-670``). Leading batch axes allowed (cascades).
+
+    ``h0`` carries the complex spectrum as (re, im) float32 planes — complex
+    dtypes never cross the jit boundary (see ``utils/complexpair.py``).
+    """
+
+    h0: jax.Array     # float32 (..., 2, N, N) initial height spectrum planes
+    omega: jax.Array  # float32 (..., N, N) dispersion (rad/s)
+
+
+class OceanFields(NamedTuple):
+    """Per-frame outputs — the displacement texture of
+    ``shader/correction.comp`` plus derived maps."""
+
+    displacement: jax.Array          # f32 (..., N, N, 3): (disp_x, height, disp_z)
+    normals: Optional[jax.Array]     # f32 (..., N, N, 3) or None
+    foam: Optional[jax.Array]        # f32 (..., N, N) or None
+
+    @property
+    def height(self) -> jax.Array:
+        return self.displacement[..., 1]
+
+
+def step(state: OceanState, t: jax.Array, config: OceanConfig) -> OceanFields:
+    """One simulation frame: propagate -> 2D iFFT x3 -> correction (+ extras).
+
+    The three spectra are batched into one leading axis so the FFT runs as a
+    single batched op instead of the reference's six sequential dispatches
+    (``src/render.rs:1158-1231``, SURVEY.md §2.5 "task parallelism").
+    """
+    if config.fft_impl == "pallas":
+        from gfx_ocean_tpu.ops.pallas_step import pallas_fields  # noqa: PLC0415
+
+        disp = pallas_fields(state.h0, state.omega, t, config)
+    else:
+        h0c = pair_to_complex(state.h0)
+        h, dx, dz = propagate(h0c, state.omega, t, config.domain_size, config.compat)
+        specs = jnp.stack([h, dx, dz], axis=0)
+        fields = ifft2_unnorm(specs, impl=config.fft_impl, direct_max=config.direct_dft_max)
+        disp = correction(fields[0], fields[1], fields[2], config.compat.ref_sign)
+
+    normals = None
+    if config.compute_normals:
+        normals = finite_difference_normals(disp[..., 1], config.normal_height_scale)
+    foam = None
+    if config.compute_foam:
+        foam = jacobian_foam(disp, config)
+    return OceanFields(displacement=disp, normals=normals, foam=foam)
+
+
+def make_step(config: OceanConfig, donate: bool = False):
+    """Jitted ``step(state, t)`` closure over a static config."""
+    fn = functools.partial(step, config=config)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_rollout(config: OceanConfig, keep_fields: bool = True):
+    """Jitted device-resident rollout over a time vector.
+
+    ``rollout(state, ts) -> OceanFields`` with a leading time axis (or, with
+    ``keep_fields=False``, a per-frame scalar checksum — the benchmark mode,
+    which keeps the scan output O(steps) instead of O(steps * N^2) so HBM
+    capacity never bounds the rollout length).
+
+    This is the TPU-native analog of the reference's frames-in-flight
+    pipelining (SURVEY.md §2.5): XLA overlaps the scan iterations' compute
+    and memory traffic without any semaphores.
+    """
+
+    def body(carry, t):
+        state = carry
+        fields = step(state, t, config)
+        if keep_fields:
+            out = fields
+        else:
+            # Cheap full-field reduction: forces every output to be computed.
+            out = jnp.sum(fields.displacement, dtype=jnp.float32)
+            if fields.normals is not None:
+                out = out + jnp.sum(fields.normals, dtype=jnp.float32)
+            if fields.foam is not None:
+                out = out + jnp.sum(fields.foam, dtype=jnp.float32)
+        return state, out
+
+    def rollout(state: OceanState, ts: jax.Array):
+        _, out = jax.lax.scan(body, state, ts)
+        return out
+
+    return jax.jit(rollout)
+
+
+def ocean_state_from_assets(
+    spectrum_path: str | None = None,
+    omega_path: str | None = None,
+    resolution: int = 512,
+) -> OceanState:
+    """Load the reference's shipped initial conditions as device arrays
+    (replaces the staging-buffer upload of ``src/render.rs:742-924``)."""
+    from gfx_ocean_tpu.assets import load_omega, load_spectrum  # noqa: PLC0415
+
+    h0 = load_spectrum(spectrum_path, resolution)
+    om = load_omega(omega_path, resolution)
+    return OceanState(h0=jnp.asarray(to_pair(h0)), omega=jnp.asarray(om))
+
+
+def ocean_state_from_phillips(
+    config: OceanConfig,
+    phillips: PhillipsConfig | None = None,
+    key: jax.Array | None = None,
+) -> OceanState:
+    """Synthesize initial conditions at runtime (BASELINE.json config 3)."""
+    from gfx_ocean_tpu.spectra.phillips import synthesize  # noqa: PLC0415
+
+    phillips = phillips or PhillipsConfig()
+    if key is None:
+        key = jax.random.PRNGKey(phillips.seed)
+    if config.num_cascades == 1:
+        h0, om = synthesize(config.resolution, config.domain_size, phillips, key)
+        return OceanState(h0=h0, omega=om)
+    keys = jax.random.split(key, config.num_cascades)
+    h0s, oms = [], []
+    for domain, k in zip(config.domains, keys):
+        h0, om = synthesize(config.resolution, domain, phillips, k)
+        h0s.append(h0)
+        oms.append(om)
+    return OceanState(h0=jnp.stack(h0s), omega=jnp.stack(oms))
+
+
+def downsample_state(state: OceanState, resolution: int) -> OceanState:
+    """Crop a state's spectrum to a lower resolution by keeping the lowest
+    wavenumbers of the *centered* layout.
+
+    The reference's spectra are stored centered (DC at the grid middle —
+    that is what the (-1)^(x+y) fix-up in ``shader/correction.comp``
+    compensates), so the low-|k| block is the central crop. Used for the
+    256^2 golden config (BASELINE.json config 1) from the shipped 512^2 bins.
+    """
+    n = state.h0.shape[-1]
+    if resolution == n:
+        return state
+    if resolution > n:
+        raise ValueError(f"cannot upsample {n} -> {resolution}")
+    lo = (n - resolution) // 2
+    hi = lo + resolution
+    return OceanState(
+        h0=state.h0[..., lo:hi, lo:hi],
+        omega=state.omega[..., lo:hi, lo:hi],
+    )

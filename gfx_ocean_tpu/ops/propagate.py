@@ -1,0 +1,83 @@
+"""Spectrum time-evolution (TPU equivalent of ``shader/propagate.comp``).
+
+The reference dispatches 512^2 SIMT threads (``src/render.rs:1123-1130``);
+here the whole pass is a handful of vectorized VPU expressions that XLA
+fuses into the downstream FFT matmuls — the three intermediate spectrum
+buffers and the two pipeline barriers of the reference
+(``src/render.rs:1132-1156``) do not exist.
+
+Semantics (``shader/propagate.comp:42-71``), arrays indexed [y, x]:
+    h(k,t)  = h0[y, x] * e^{i w t} + h0[N-1-y, N-1-x] * e^{-i w t}
+              (conjugate on the negated sample only if ``compat.conj_neg`` —
+               the reference omits it, canonical Tessendorf has it)
+    k       = pi * (2*i - N - 1) / L per axis, where the reference's uint32
+              wraparound (SURVEY.md Q1) is replicated iff ``compat.wrap_k``
+    disp_x  = -i * k_hat_x * h ;  disp_z = -i * k_hat_y * h
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfx_ocean_tpu.config import CompatFlags
+from gfx_ocean_tpu.golden.reference import wavenumber_1d
+
+
+@functools.lru_cache(maxsize=None)
+def _khat_np(n: int, domain_size: float, wrap: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """Precomputed normalized wavenumber grids (f64 on host, stored f32)."""
+    kx = wavenumber_1d(n, domain_size, wrap)[None, :]
+    ky = wavenumber_1d(n, domain_size, wrap)[:, None]
+    k_len = np.sqrt(kx * kx + ky * ky)
+    safe = k_len > 1.0e-10
+    with np.errstate(invalid="ignore", divide="ignore"):
+        kxn = np.where(safe, kx / k_len, 0.0)
+        kyn = np.where(safe, ky / k_len, 0.0)
+    return (
+        np.broadcast_to(kxn, (n, n)).astype(np.float32),
+        np.broadcast_to(kyn, (n, n)).astype(np.float32),
+    )
+
+
+def wavenumber_grid(n: int, domain_size: float, wrap: bool = False):
+    """(k_hat_x, k_hat_y) as (N, N) float32 device constants."""
+    kxn, kyn = _khat_np(n, float(domain_size), bool(wrap))
+    return jnp.asarray(kxn), jnp.asarray(kyn)
+
+
+def propagate(
+    h0: jnp.ndarray,
+    omega: jnp.ndarray,
+    t: jnp.ndarray,
+    domain_size: float,
+    compat: CompatFlags = CompatFlags(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Evolve the initial spectrum to time ``t``.
+
+    Args:
+        h0:    complex64 (..., N, N) initial height spectrum h0(k).
+        omega: float32 (..., N, N) dispersion w(k) in rad/s.
+        t:     scalar time (traced — the only per-step input, matching the
+               reference's stateless-in-time design, SURVEY.md §5).
+
+    Returns:
+        (h_spec, dx_spec, dz_spec), each complex64 (..., N, N).
+    """
+    n = h0.shape[-1]
+    phase = omega * t
+    e_pos = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+    h0_neg = h0[..., ::-1, ::-1]
+    if compat.conj_neg:
+        h0_neg = jnp.conj(h0_neg)
+    h = h0 * e_pos + h0_neg * jnp.conj(e_pos)
+
+    kxn, kyn = wavenumber_grid(n, domain_size, compat.wrap_k)
+    dx = -1j * kxn * h
+    dz = -1j * kyn * h
+    return h, dx, dz

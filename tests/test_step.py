@@ -1,0 +1,127 @@
+"""End-to-end step() vs the CPU golden model (BASELINE configs 1 & 2)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfx_ocean_tpu import CompatFlags, OceanConfig, OceanState, make_rollout, make_step
+from gfx_ocean_tpu.golden.reference import golden_fields, golden_normals
+from gfx_ocean_tpu.models.ocean import downsample_state, ocean_state_from_assets
+from gfx_ocean_tpu.utils.complexpair import from_pair_np, to_pair
+
+
+def _state(reference_state, n):
+    h0, omega = reference_state
+    st = OceanState(h0=jnp.asarray(to_pair(h0)), omega=jnp.asarray(omega))
+    return downsample_state(st, n)
+
+
+def _linf_rel(got, want):
+    scale = np.abs(want).max()
+    return np.abs(np.asarray(got, dtype=np.float64) - want).max() / scale
+
+
+@pytest.mark.parametrize("impl", ["matmul", "xla"])
+@pytest.mark.parametrize("n", [256, 512])
+def test_step_matches_golden(reference_state, impl, n):
+    """Config 1 (256^2 height-only) and config 2 (512^2 full step)."""
+    cfg = OceanConfig(resolution=n, fft_impl=impl, compute_normals=False)
+    st = _state(reference_state, n)
+    t = 11.25
+    got = make_step(cfg)(st, jnp.float32(t))
+    want = golden_fields(from_pair_np(np.asarray(st.h0)), np.asarray(st.omega), t,
+                         cfg.domain_size, cfg.compat)
+    err = _linf_rel(got.displacement, want)
+    assert err < 1e-5, f"relative L-inf {err:.2e} at N={n} impl={impl}"
+
+
+@pytest.mark.parametrize("flags", [
+    CompatFlags(wrap_k=True, ref_sign=True, conj_neg=False),   # bit-parity mode
+    CompatFlags(wrap_k=False, ref_sign=False, conj_neg=True),  # canonical mode
+])
+def test_step_compat_flags(reference_state, flags):
+    cfg = OceanConfig(resolution=128, compat=flags, compute_normals=False)
+    st = _state(reference_state, 128)
+    t = 3.5
+    got = make_step(cfg)(st, jnp.float32(t))
+    want = golden_fields(from_pair_np(np.asarray(st.h0)), np.asarray(st.omega), t,
+                         cfg.domain_size, flags)
+    assert _linf_rel(got.displacement, want) < 1e-5
+
+
+def test_normals_match_golden(reference_state):
+    cfg = OceanConfig(resolution=128)
+    st = _state(reference_state, 128)
+    got = make_step(cfg)(st, jnp.float32(7.0))
+    want = golden_normals(np.asarray(got.displacement[..., 1], dtype=np.float64),
+                          cfg.normal_height_scale)
+    assert np.abs(np.asarray(got.normals) - want).max() < 1e-4
+    lens = np.linalg.norm(np.asarray(got.normals), axis=-1)
+    assert np.abs(lens - 1.0).max() < 1e-5
+    # Ocean normals point up on average.
+    assert np.asarray(got.normals)[..., 1].mean() > 0.5
+
+
+def test_rollout_scan_matches_individual_steps(reference_state):
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    st = _state(reference_state, 64)
+    ts = jnp.arange(5, dtype=jnp.float32) * 0.3 + 1.0
+    rollout = make_rollout(cfg)
+    traj = rollout(st, ts)
+    step_fn = make_step(cfg)
+    for i, t in enumerate(np.asarray(ts)):
+        single = step_fn(st, jnp.float32(t))
+        np.testing.assert_allclose(
+            np.asarray(traj.displacement[i]), np.asarray(single.displacement),
+            rtol=0, atol=1e-5)
+
+
+def test_rollout_checksum_mode(reference_state):
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    st = _state(reference_state, 64)
+    ts = jnp.arange(3, dtype=jnp.float32)
+    out = make_rollout(cfg, keep_fields=False)(st, ts)
+    assert out.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_rollout_deterministic(reference_state):
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    st = _state(reference_state, 64)
+    ts = jnp.arange(4, dtype=jnp.float32) * 0.1
+    r = make_rollout(cfg, keep_fields=False)
+    a, b = r(st, ts), r(st, ts)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stateless_resume(reference_state):
+    """Checkpoint/resume = pass a later t (SURVEY.md §5): a frame computed
+    directly at t equals the same frame computed 'after' other frames."""
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    st = _state(reference_state, 64)
+    step_fn = make_step(cfg)
+    _ = step_fn(st, jnp.float32(1.0))
+    _ = step_fn(st, jnp.float32(2.0))
+    direct = step_fn(st, jnp.float32(42.0))
+    fresh = make_step(cfg)(st, jnp.float32(42.0))
+    assert np.array_equal(np.asarray(direct.displacement), np.asarray(fresh.displacement))
+
+
+def test_foam_shape_and_range(reference_state):
+    cfg = OceanConfig(resolution=128, compute_foam=True, compute_normals=False)
+    st = _state(reference_state, 128)
+    out = make_step(cfg)(st, jnp.float32(5.0))
+    foam = np.asarray(out.foam)
+    assert foam.shape == (128, 128)
+    assert set(np.unique(foam)).issubset({0.0, 1.0})
+
+
+def test_loads_reference_assets_end_to_end():
+    st = ocean_state_from_assets()
+    assert st.h0.shape == (2, 512, 512)
+    cfg = OceanConfig(resolution=512, compute_normals=False)
+    out = make_step(cfg)(st, jnp.float32(0.5))
+    assert np.all(np.isfinite(np.asarray(out.displacement)))

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Headline benchmark: 512^2 full ocean steps/sec on one TPU chip.
+
+Workload (BASELINE.json config 2): full step — propagate, 3x 2-D
+unnormalized inverse FFT, correction (choppy displacement), normal map —
+over a 600-frame ``lax.scan`` rollout on the shipped spectrum.bin/omega.bin
+initial conditions.
+
+Measurement rules (BASELINE.md): device-resident scan with per-frame
+full-field reductions (every output is computed and consumed on device),
+jit warmup excluded, ``block_until_ready`` timing, median of repeats.
+An accuracy gate (relative L-inf vs the float64 CPU golden) runs first; a
+throughput number with broken numerics is meaningless.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is against the 5,000 steps/s north star (BASELINE.json; the
+reference publishes no numbers of its own — SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+STEPS = 600
+REPEATS = 5
+TIME_BATCH = 4
+BASELINE_STEPS_PER_SEC = 5000.0
+ACCURACY_GATE = 1e-4
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import gfx_ocean_tpu as ot
+    from gfx_ocean_tpu.golden.reference import golden_fields
+    from gfx_ocean_tpu.utils.complexpair import from_pair_np
+
+    cfg = ot.OceanConfig()  # 512^2, matmul DFT, bf16x3 precision, normals on
+    state = ot.ocean_state_from_assets(resolution=cfg.resolution)
+
+    # --- accuracy gate ---------------------------------------------------
+    t_check = 11.25
+    disp = np.asarray(ot.make_step(cfg)(state, jnp.float32(t_check)).displacement)
+    want = golden_fields(from_pair_np(np.asarray(state.h0)), np.asarray(state.omega),
+                         t_check, cfg.domain_size, cfg.compat)
+    rel_linf = float(np.abs(disp - want).max() / np.abs(want).max())
+    if not np.isfinite(rel_linf) or rel_linf > ACCURACY_GATE:
+        raise SystemExit(f"accuracy gate failed: relative L-inf {rel_linf:.3e} "
+                         f"> {ACCURACY_GATE}")
+
+    # --- throughput -------------------------------------------------------
+    rollout = ot.make_rollout(cfg, keep_fields=False, time_batch=TIME_BATCH)
+    ts = jnp.arange(STEPS, dtype=jnp.float32) * jnp.float32(1.0 / 60.0)
+
+    out = rollout(state, ts)
+    np.asarray(out)  # warmup: compile + surface any async error
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = rollout(state, ts)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    steps_per_sec = STEPS / float(np.median(times))
+
+    print(json.dumps({
+        "metric": "ocean_full_step_512_steps_per_sec",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "detail": {
+            "grid": cfg.resolution,
+            "rollout_steps": STEPS,
+            "time_batch": TIME_BATCH,
+            "matmul_precision": cfg.matmul_precision,
+            "fft_impl": cfg.fft_impl,
+            "rel_linf_vs_golden": rel_linf,
+            "device": str(jax.devices()[0]),
+            "repeats_sec": [round(t, 4) for t in times],
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

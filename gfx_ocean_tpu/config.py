@@ -74,8 +74,12 @@ class OceanConfig:
     direct_dft_max: int = 1024
 
     # --- numerics ---
-    # The 1e-4 L-inf target (BASELINE.json) leaves no room for bf16 in the
-    # butterflies; matmuls run at HIGHEST precision (f32-equivalent on MXU).
+    # The 1e-4 L-inf target (BASELINE.json) leaves no room for plain bf16 in
+    # the transform; on the MXU f32 matmuls run as multi-pass bf16:
+    #   "highest" = bf16x6 (f32-equivalent, ~4e-7 rel err at 512^2)
+    #   "high"    = bf16x3 (~2x throughput, still orders inside the budget)
+    #   "default" = bf16   (fastest; ~1e-2 — out of budget, viz-only)
+    matmul_precision: str = "high"
     dtype: str = "float32"
 
     # --- quirk compatibility (SURVEY.md §2.4) ---

@@ -26,9 +26,9 @@ import numpy as np
 
 from gfx_ocean_tpu.config import OceanConfig, PhillipsConfig
 from gfx_ocean_tpu.ops.derived import correction, finite_difference_normals, jacobian_foam
-from gfx_ocean_tpu.ops.fft import ifft2_unnorm
-from gfx_ocean_tpu.ops.propagate import propagate
-from gfx_ocean_tpu.utils.complexpair import pair_to_complex, to_pair
+from gfx_ocean_tpu.ops.fft import ifft2_real_unnorm
+from gfx_ocean_tpu.ops.propagate import propagate_planes
+from gfx_ocean_tpu.utils.complexpair import to_pair
 
 
 class OceanState(NamedTuple):
@@ -68,10 +68,12 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig) -> OceanFields:
 
         disp = pallas_fields(state.h0, state.omega, t, config)
     else:
-        h0c = pair_to_complex(state.h0)
-        h, dx, dz = propagate(h0c, state.omega, t, config.domain_size, config.compat)
-        specs = jnp.stack([h, dx, dz], axis=0)
-        fields = ifft2_unnorm(specs, impl=config.fft_impl, direct_max=config.direct_dft_max)
+        specs_r, specs_i = propagate_planes(
+            state.h0, state.omega, t, config.domain_size, config.compat)
+        fields = ifft2_real_unnorm(
+            specs_r, specs_i,
+            impl=config.fft_impl, direct_max=config.direct_dft_max,
+            precision=config.matmul_precision)
         disp = correction(fields[0], fields[1], fields[2], config.compat.ref_sign)
 
     normals = None
@@ -89,7 +91,7 @@ def make_step(config: OceanConfig, donate: bool = False):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
-def make_rollout(config: OceanConfig, keep_fields: bool = True):
+def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int = 1):
     """Jitted device-resident rollout over a time vector.
 
     ``rollout(state, ts) -> OceanFields`` with a leading time axis (or, with
@@ -97,27 +99,47 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True):
     which keeps the scan output O(steps) instead of O(steps * N^2) so HBM
     capacity never bounds the rollout length).
 
+    ``time_batch > 1`` vmaps ``time_batch`` frames inside each scan
+    iteration. Frames are independent (the sim is stateless in time,
+    SURVEY.md §5), so this is a pure throughput optimization: the DFT
+    matmuls grow a batch dimension and utilize the MXU far better than the
+    reference's strictly sequential frame loop ever could. ``len(ts)`` must
+    be a multiple of ``time_batch``.
+
     This is the TPU-native analog of the reference's frames-in-flight
     pipelining (SURVEY.md §2.5): XLA overlaps the scan iterations' compute
     and memory traffic without any semaphores.
     """
 
-    def body(carry, t):
-        state = carry
+    def one(state, t):
         fields = step(state, t, config)
         if keep_fields:
-            out = fields
-        else:
-            # Cheap full-field reduction: forces every output to be computed.
-            out = jnp.sum(fields.displacement, dtype=jnp.float32)
-            if fields.normals is not None:
-                out = out + jnp.sum(fields.normals, dtype=jnp.float32)
-            if fields.foam is not None:
-                out = out + jnp.sum(fields.foam, dtype=jnp.float32)
-        return state, out
+            return fields
+        # Cheap full-field reduction: forces every output to be computed.
+        out = jnp.sum(fields.displacement, dtype=jnp.float32)
+        if fields.normals is not None:
+            out = out + jnp.sum(fields.normals, dtype=jnp.float32)
+        if fields.foam is not None:
+            out = out + jnp.sum(fields.foam, dtype=jnp.float32)
+        return out
+
+    def body(state, t):
+        if time_batch == 1:
+            return state, one(state, t)
+        return state, jax.vmap(lambda tt: one(state, tt))(t)
 
     def rollout(state: OceanState, ts: jax.Array):
+        if time_batch > 1:
+            if ts.shape[0] % time_batch:
+                raise ValueError(
+                    f"len(ts)={ts.shape[0]} not a multiple of time_batch={time_batch}")
+            ts = ts.reshape(ts.shape[0] // time_batch, time_batch)
         _, out = jax.lax.scan(body, state, ts)
+        if time_batch > 1:
+            # Flatten (chunks, batch, ...) back to a frame-major time axis.
+            out = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]) if x is not None else None,
+                out, is_leaf=lambda x: x is None)
         return out
 
     return jax.jit(rollout)

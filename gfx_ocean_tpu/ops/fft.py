@@ -44,6 +44,19 @@ Impl = Literal["matmul", "xla"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,  # bf16x6 on MXU — f32-equivalent
+    "high": jax.lax.Precision.HIGH,        # bf16x3 — ~2x MXU throughput
+    "default": jax.lax.Precision.DEFAULT,  # bf16 — fastest, ~1e-2 error
+}
+
+
+def resolve_precision(name: str) -> jax.lax.Precision:
+    try:
+        return _PRECISIONS[name]
+    except KeyError:
+        raise ValueError(f"unknown matmul precision {name!r}; options: {sorted(_PRECISIONS)}")
+
 
 @functools.lru_cache(maxsize=None)
 def _dft_matrix_np(n: int, sign: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -169,3 +182,42 @@ def ifft2_unnorm(x: jnp.ndarray, impl: Impl = "matmul",
         return jnp.matmul(jnp.matmul(w, x, precision=_HIGHEST), w, precision=_HIGHEST)
     y = ifft1d_unnorm(x, axis=-1, impl=impl, direct_max=direct_max)
     return ifft1d_unnorm(y, axis=-2, impl=impl, direct_max=direct_max)
+
+
+def ifft2_real_unnorm(
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    impl: Impl = "matmul",
+    direct_max: int = 1024,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Real part of the unnormalized 2-D inverse DFT, from (re, im) planes.
+
+    This is the hot path of ``step()``: the correction pass keeps only the
+    real component (``shader/correction.comp:31``), so the final column-pass
+    matmul needs just Re(W @ A) = Wr@Ar - Wi@Ai — 6 real MXU matmuls per
+    field instead of the 8 a full complex transform costs (25% fewer FLOPs).
+
+    Args:
+        xr, xi: float32 (..., N, N) spectrum planes (complex never crosses
+            the jit boundary — ``utils/complexpair.py``).
+        precision: "highest" (bf16x6, f32-equivalent), "high" (bf16x3,
+            ~2x MXU throughput, ~1e-6 relative error), or "default".
+    """
+    prec = resolve_precision(precision)
+    m, n = xr.shape[-2], xr.shape[-1]
+    if impl == "xla":
+        return jnp.real(ifft2_unnorm(jax.lax.complex(xr, xi), impl="xla"))
+    if not (m == n and n <= direct_max):
+        y = ifft1d_unnorm(jax.lax.complex(xr, xi), axis=-1, impl=impl, direct_max=direct_max)
+        yr, yi = jnp.real(y), jnp.imag(y)
+        wr_m, wi_m = dft_matrices(m, sign=1)
+        # Column pass from the left, real output only.
+        return (jnp.matmul(wr_m, yr, precision=prec)
+                - jnp.matmul(wi_m, yi, precision=prec))
+    wr, wi = dft_matrices(n, sign=1)
+    # Row pass (full complex): A = X @ W.
+    ar = jnp.matmul(xr, wr, precision=prec) - jnp.matmul(xi, wi, precision=prec)
+    ai = jnp.matmul(xr, wi, precision=prec) + jnp.matmul(xi, wr, precision=prec)
+    # Column pass, real output only: Re(W @ A).
+    return jnp.matmul(wr, ar, precision=prec) - jnp.matmul(wi, ai, precision=prec)

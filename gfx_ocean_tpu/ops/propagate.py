@@ -81,3 +81,46 @@ def propagate(
     dx = -1j * kxn * h
     dz = -1j * kyn * h
     return h, dx, dz
+
+
+def propagate_planes(
+    h0_pair: jnp.ndarray,
+    omega: jnp.ndarray,
+    t: jnp.ndarray,
+    domain_size: float,
+    compat: CompatFlags = CompatFlags(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-real-plane variant of :func:`propagate` — the hot path.
+
+    Complex dtype never appears (better TPU layouts, Pallas-compatible).
+    Expanding ``h = h0 e^{iwt} + h0n e^{-iwt}`` with c = cos(wt), s = sin(wt)
+    and (r, i) planes:
+
+        hr = c (h0r + h0nr) + s (h0ni - h0i)
+        hi = s (h0r - h0nr) + c (h0i + h0ni)
+        dx = -i khx h  =>  dxr =  khx hi, dxi = -khx hr   (and same for dz)
+
+    Args:
+        h0_pair: float32 (..., 2, N, N) — (re, im) planes of h0.
+    Returns:
+        (specs_r, specs_i): each float32 (3, ..., N, N), order (h, dx, dz) —
+        matching the stacking the 2-D transform consumes.
+    """
+    n = h0_pair.shape[-1]
+    h0r = h0_pair[..., 0, :, :]
+    h0i = h0_pair[..., 1, :, :]
+    h0nr = h0r[..., ::-1, ::-1]
+    h0ni = h0i[..., ::-1, ::-1]
+    if compat.conj_neg:
+        h0ni = -h0ni
+
+    phase = omega * t
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    hr = c * (h0r + h0nr) + s * (h0ni - h0i)
+    hi = s * (h0r - h0nr) + c * (h0i + h0ni)
+
+    kxn, kyn = wavenumber_grid(n, domain_size, compat.wrap_k)
+    specs_r = jnp.stack([hr, kxn * hi, kyn * hi], axis=0)
+    specs_i = jnp.stack([hi, -kxn * hr, -kyn * hr], axis=0)
+    return specs_r, specs_i

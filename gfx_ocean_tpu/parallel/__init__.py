@@ -1,0 +1,9 @@
+from .sharding import make_mesh, make_sharded_step, shard_state
+from .distributed_fft import ifft2_real_unnorm_sharded
+
+__all__ = [
+    "ifft2_real_unnorm_sharded",
+    "make_mesh",
+    "make_sharded_step",
+    "shard_state",
+]

@@ -1,0 +1,100 @@
+"""Multi-chip scaling over a ``jax.sharding.Mesh``.
+
+The reference is strictly single-process single-GPU (one queue,
+``src/render.rs:128-140``; SURVEY.md §2.5). This module is the capability it
+lacks, built the TPU way: pick a mesh, annotate shardings, let XLA insert
+the collectives over ICI.
+
+Mesh axes:
+    "batch" — data parallelism over independent ocean patches / cascades
+              (the multi-chip generalization of the reference's 4-instance
+              patch draw, ``src/render.rs:518-559``).
+    "row"   — spatial parallelism over grid rows: each chip owns a
+              contiguous band of the (N, N) spectrum. The 2-D FFT then
+              needs exactly one resharding between the row-pass and the
+              col-pass — the distributed-FFT transpose (SURVEY.md §5
+              "long-context" analog). Under ``jit`` XLA inserts the
+              all-to-all; ``distributed_fft.py`` is the explicit
+              shard_map formulation of the same thing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gfx_ocean_tpu.config import OceanConfig
+from gfx_ocean_tpu.models.ocean import OceanState, step
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    batch: int = 1,
+    row: Optional[int] = None,
+) -> Mesh:
+    """Build a ("batch", "row") mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if row is None:
+        row = n // batch
+    if batch * row != n:
+        raise ValueError(f"batch*row = {batch}*{row} != {n} devices")
+    arr = np.asarray(devices).reshape(batch, row)
+    return Mesh(arr, axis_names=("batch", "row"))
+
+
+def state_specs(batched: bool) -> OceanState:
+    """PartitionSpecs for an OceanState: rows sharded, batch (if any) DP."""
+    if batched:
+        return OceanState(h0=P("batch", None, "row", None),
+                          omega=P("batch", "row", None))
+    return OceanState(h0=P(None, "row", None), omega=P("row", None))
+
+
+def shard_state(state: OceanState, mesh: Mesh) -> OceanState:
+    """Place a (possibly batched) state onto the mesh."""
+    batched = state.h0.ndim == 4
+    specs = state_specs(batched)
+    return OceanState(
+        h0=jax.device_put(state.h0, NamedSharding(mesh, specs.h0)),
+        omega=jax.device_put(state.omega, NamedSharding(mesh, specs.omega)),
+    )
+
+
+def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True):
+    """Jitted ``step`` with mesh shardings on inputs and outputs.
+
+    The step body is the same pure function as single-chip; XLA/GSPMD
+    partitions the DFT matmuls (row pass local, one collective resharding,
+    col pass local) and the elementwise passes for free. The spectrum flip
+    ``h0[::-1, ::-1]`` (propagate pairing) becomes a ppermute across the
+    "row" axis, inserted automatically.
+    """
+    specs = state_specs(batched)
+    field_spec = (P("batch", "row", None, None) if batched
+                  else P("row", None, None))
+    out_field = NamedSharding(mesh, field_spec)
+
+    in_shardings = (OceanState(h0=NamedSharding(mesh, specs.h0),
+                               omega=NamedSharding(mesh, specs.omega)),
+                    None)
+
+    def fn(state: OceanState, t):
+        return step(state, t, config)
+
+    # Outputs: displacement (..., N, N, 3), normals (..., N, N, 3),
+    # foam (..., N, N) — shard rows, replicate channels.
+    def out_shardings():
+        disp = out_field
+        normals = out_field if config.compute_normals else None
+        foam = (NamedSharding(mesh, P("batch", "row", None) if batched else P("row", None))
+                if config.compute_foam else None)
+        from gfx_ocean_tpu.models.ocean import OceanFields  # noqa: PLC0415
+
+        return OceanFields(displacement=disp, normals=normals, foam=foam)
+
+    return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings())

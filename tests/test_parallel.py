@@ -1,0 +1,94 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfx_ocean_tpu import OceanConfig, OceanState, make_step
+from gfx_ocean_tpu.golden.reference import golden_fields
+from gfx_ocean_tpu.parallel import (
+    ifft2_real_unnorm_sharded,
+    make_mesh,
+    make_sharded_step,
+    shard_state,
+)
+from gfx_ocean_tpu.utils.complexpair import from_pair_np, to_pair
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(batch=2, row=4)
+
+
+def _rand_state(rng, n, batch=None):
+    shape = (batch, n, n) if batch else (n, n)
+    h0 = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)) * 0.1
+    omega = np.abs(rng.standard_normal(shape)).astype(np.float32) + 0.1
+    return OceanState(h0=jnp.asarray(to_pair(h0)), omega=jnp.asarray(omega))
+
+
+def test_mesh_shape_validation():
+    with pytest.raises(ValueError):
+        make_mesh(batch=3)  # 3 does not divide 8
+
+
+def test_sharded_step_matches_single_device(rng, mesh8):
+    cfg = OceanConfig(resolution=64, compute_normals=True)
+    state = _rand_state(rng, 64, batch=2)
+    want = make_step(cfg)(state, jnp.float32(2.5))
+
+    sstate = shard_state(state, mesh8)
+    got = make_sharded_step(cfg, mesh8)(sstate, jnp.float32(2.5))
+    np.testing.assert_allclose(np.asarray(got.displacement),
+                               np.asarray(want.displacement), atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.normals),
+                               np.asarray(want.normals), atol=1e-4, rtol=0)
+
+
+def test_sharded_step_unbatched(rng, mesh8):
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    state = _rand_state(rng, 64)
+    want = make_step(cfg)(state, jnp.float32(1.0))
+    got = make_sharded_step(cfg, mesh8, batched=False)(shard_state(state, mesh8),
+                                                       jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(got.displacement),
+                               np.asarray(want.displacement), atol=1e-4, rtol=0)
+
+
+def test_sharded_step_vs_golden(rng, mesh8):
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    state = _rand_state(rng, 64, batch=2)
+    got = make_sharded_step(cfg, mesh8)(shard_state(state, mesh8), jnp.float32(3.0))
+    h0 = from_pair_np(np.asarray(state.h0))
+    for b in range(2):
+        want = golden_fields(h0[b], np.asarray(state.omega[b]), 3.0,
+                             cfg.domain_size, cfg.compat)
+        err = np.abs(np.asarray(got.displacement[b]) - want).max() / np.abs(want).max()
+        assert err < 1e-4
+
+
+def test_distributed_fft_matches_numpy(rng, mesh8):
+    n = 128
+    x = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    xr = jnp.asarray(np.real(x), dtype=jnp.float32)
+    xi = jnp.asarray(np.imag(x), dtype=jnp.float32)
+
+    got = np.asarray(jax.jit(
+        lambda a, b: ifft2_real_unnorm_sharded(a, b, mesh8, precision="highest")
+    )(xr, xi))
+    want = np.real(np.fft.ifft2(x) * n * n)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_distributed_fft_batched(rng, mesh8):
+    n = 64
+    x = (rng.standard_normal((3, n, n)) + 1j * rng.standard_normal((3, n, n)))
+    xr = jnp.asarray(np.real(x), dtype=jnp.float32)
+    xi = jnp.asarray(np.imag(x), dtype=jnp.float32)
+    got = np.asarray(jax.jit(
+        lambda a, b: ifft2_real_unnorm_sharded(a, b, mesh8, precision="highest")
+    )(xr, xi))
+    want = np.real(np.fft.ifft2(x) * n * n)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gfx_ocean_tpu.config import OceanConfig, PhillipsConfig
-from gfx_ocean_tpu.ops.derived import correction, finite_difference_normals, jacobian_foam
+from gfx_ocean_tpu.ops.derived import finite_difference_normals, jacobian_foam
 from gfx_ocean_tpu.ops.fft import ifft2_real_unnorm
 from gfx_ocean_tpu.ops.propagate import propagate_planes
 from gfx_ocean_tpu.utils.complexpair import to_pair
@@ -66,15 +66,23 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig) -> OceanFields:
     if config.fft_impl == "pallas":
         from gfx_ocean_tpu.ops.pallas_step import pallas_fields  # noqa: PLC0415
 
-        disp = pallas_fields(state.h0, state.omega, t, config)
+        if state.h0.ndim == 3:
+            disp = pallas_fields(state.h0, state.omega, t, config)
+        else:  # leading batch axes (cascades): map the fused kernel
+            disp = jax.vmap(lambda h, o: pallas_fields(h, o, t, config))(
+                state.h0, state.omega)
     else:
         specs_r, specs_i = propagate_planes(
             state.h0, state.omega, t, config.domain_size, config.compat)
+        # The centering sign (correction pass) is folded into the DFT
+        # tables — correction reduces to channel packing.
         fields = ifft2_real_unnorm(
             specs_r, specs_i,
             impl=config.fft_impl, direct_max=config.direct_dft_max,
-            precision=config.matmul_precision)
-        disp = correction(fields[0], fields[1], fields[2], config.compat.ref_sign)
+            precision=config.matmul_precision,
+            centered="ref" if config.compat.ref_sign else "canonical")
+        # (disp_x, height, disp_z) channel order of shader/correction.comp:31-34.
+        disp = jnp.stack([fields[1], fields[0], fields[2]], axis=-1)
 
     normals = None
     if config.compute_normals:

@@ -21,19 +21,24 @@ TPU-native design — do NOT translate the butterfly network:
 
 * ``xla``: ``jnp.fft.ifftn`` scaled by N — XLA's FFT HLO. Golden / fallback.
 
-* ``pallas``: fused single-kernel path (see ``ops/pallas_step.py``) — the
-  whole step runs out of VMEM; exposed here for per-axis use as well.
+* ``pallas``: fused single-kernel path (see ``ops/pallas_step.py``).
 
-Precision: all matmuls run at ``HIGHEST`` precision (f32-equivalent on the
-MXU via multi-pass bf16) — the 1e-4 L-inf budget (BASELINE.md) rules out
-plain bf16. Twiddle/DFT matrices are built in float64 on host, rounded once
-to float32.
+The hot path works on (re, im) float32 plane pairs — complex dtype never
+appears (axon PJRT cannot transfer complex across the host boundary, Pallas
+cannot take complex refs, and plane layouts tile better on the VPU). The
+complex-typed public wrappers exist for tests and external callers.
+
+Precision: on the MXU an f32 matmul runs as multi-pass bf16 —
+"highest" = bf16x6 (f32-equivalent), "high" = bf16x3 (~2x throughput,
+~3e-5 relative L-inf at 512^2 — well inside the 1e-4 budget of
+BASELINE.md), "default" = bf16 (viz-only). Twiddle/DFT matrices are built
+in float64 on host (phase computed mod N in integers, so they are exact
+even at N = 4096^2) and rounded once to float32.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 from typing import Literal, Tuple
 
 import jax
@@ -41,8 +46,6 @@ import jax.numpy as jnp
 import numpy as np
 
 Impl = Literal["matmul", "xla"]
-
-_HIGHEST = jax.lax.Precision.HIGHEST
 
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,  # bf16x6 on MXU — f32-equivalent
@@ -58,15 +61,19 @@ def resolve_precision(name: str) -> jax.lax.Precision:
         raise ValueError(f"unknown matmul precision {name!r}; options: {sorted(_PRECISIONS)}")
 
 
+# --------------------------------------------------------------------------
+# Host-side constant tables (float64 -> float32, cached per (n, sign)).
+# --------------------------------------------------------------------------
+
 @functools.lru_cache(maxsize=None)
 def _dft_matrix_np(n: int, sign: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(real, imag) of W[j, k] = exp(sign * 2 pi i j k / n), float32 from f64."""
-    j = np.arange(n, dtype=np.float64)
-    # Compute the phase exponent modulo n in integers to keep the argument
-    # small before the f64 multiply — exact twiddles even at n = 4096**2.
+    """(real, imag) of W[j, k] = exp(sign * 2 pi i j k / n), float32 from f64.
+
+    The phase exponent is reduced mod n in integer arithmetic before the f64
+    multiply, so the twiddles carry no accumulation error at any n.
+    """
     jk = np.outer(np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64)) % n
     theta = (2.0 * np.pi * sign / n) * jk.astype(np.float64)
-    del j
     return np.cos(theta).astype(np.float32), np.sin(theta).astype(np.float32)
 
 
@@ -80,22 +87,15 @@ def _twiddle_np(n1: int, n2: int, sign: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _split(n: int) -> Tuple[int, int]:
-    """Balanced N = N1 * N2 split with both factors powers of two."""
+    """Balanced N = N1 * N2 split with both factors powers of two.
+
+    Balanced minimizes FLOPs (cost ~ N1 + N2 per element); measured on
+    v5e the matmul-shape benefit of unbalanced splits does not pay for the
+    extra arithmetic at N in [2048, 8192].
+    """
     log = n.bit_length() - 1
     l1 = log // 2
     return 1 << l1, 1 << (log - l1)
-
-
-def _complex_matmul(ar, ai, br, bi, precision=_HIGHEST):
-    """(ar + i ai) @ (br + i bi) -> (real, imag). 4 real MXU matmuls.
-
-    3-mult Karatsuba saves one matmul but costs extra adds and, more
-    importantly for f32-on-MXU, one extra rounding — measured irrelevant at
-    these sizes, so keep the numerically cleaner 4-mult form.
-    """
-    rr = jnp.matmul(ar, br, precision=precision) - jnp.matmul(ai, bi, precision=precision)
-    ri = jnp.matmul(ar, bi, precision=precision) + jnp.matmul(ai, br, precision=precision)
-    return rr, ri
 
 
 def dft_matrices(n: int, sign: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -103,48 +103,139 @@ def dft_matrices(n: int, sign: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.asarray(wr), jnp.asarray(wi)
 
 
-def _ifft_last_matmul_direct(x: jnp.ndarray) -> jnp.ndarray:
-    """Unnormalized inverse DFT along the last axis via one dense matmul."""
-    n = x.shape[-1]
-    wr, wi = dft_matrices(n, sign=1)
-    w = jax.lax.complex(wr, wi)
-    # y[..., j] = sum_k x[..., k] W[j, k]; W symmetric => x @ W.
-    return jnp.matmul(x, w, precision=_HIGHEST)
+# --- centering-sign folding -------------------------------------------------
+#
+# The correction pass multiplies the field by (-1)^(x+y) (with the
+# reference's global flip, SURVEY.md Q2 / shader/correction.comp:29).
+# (-1)^(x+y) factorizes per axis, and each factor is a diagonal that can be
+# absorbed into the OUTPUT side of that axis' DFT matrix at table-build
+# time — the whole correction pass then costs zero runtime ops.
+
+@functools.lru_cache(maxsize=None)
+def _alt_np(n: int) -> np.ndarray:
+    """(-1)^i, float32, length n."""
+    a = np.ones(n, dtype=np.float32)
+    a[1::2] = -1.0
+    return a
 
 
-def _ifft_last_matmul_foursteps(x: jnp.ndarray) -> jnp.ndarray:
+@functools.lru_cache(maxsize=None)
+def _dft_matrix_out_alt_np(n: int, sign: int, axis: int,
+                           negate: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """DFT matrix with (-1)^(output index) folded in.
+
+    axis=1 folds into columns (for right-multiplication Y = X @ W, where the
+    output index selects a column); axis=0 folds into rows (for Y = W @ X).
+    ``negate`` additionally flips the global sign (the reference's Q2 flip).
+    """
+    wr, wi = _dft_matrix_np(n, sign)
+    alt = _alt_np(n) * (np.float32(-1.0) if negate else np.float32(1.0))
+    if axis == 1:
+        return wr * alt[None, :], wi * alt[None, :]
+    return wr * alt[:, None], wi * alt[:, None]
+
+
+# --------------------------------------------------------------------------
+# Plane-pair kernels (the hot path; no complex dtype anywhere).
+# --------------------------------------------------------------------------
+
+def _direct_last(xr, xi, prec, real_out: bool, out_alt: bool = False,
+                 negate: bool = False):
+    """Dense DFT along the last axis: Y = X @ W (W symmetric).
+
+    real_out skips the imaginary output plane: 2 matmuls instead of 4.
+    out_alt folds (-1)^(output index) into W (centering sign, free);
+    negate further flips the global sign.
+    """
+    n = xr.shape[-1]
+    if out_alt:
+        wr, wi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(n, 1, 1, negate))
+    else:
+        wr, wi = dft_matrices(n, sign=1)
+    yr = jnp.matmul(xr, wr, precision=prec) - jnp.matmul(xi, wi, precision=prec)
+    if real_out:
+        return yr, None
+    yi = jnp.matmul(xr, wi, precision=prec) + jnp.matmul(xi, wr, precision=prec)
+    return yr, yi
+
+
+def _foursteps_last(xr, xi, prec, real_out: bool, out_alt: bool = False,
+                    negate: bool = False):
     """Four-step split along the last axis: O(N*(N1+N2)) as batched matmuls.
 
     Derivation (sign +1, unnormalized): with k = N2*k1 + k2, n = n1 + N1*n2,
       y[n1 + N1 n2] = sum_{k2} W_N[n1 k2] * (sum_{k1} X[k1,k2] W_{N1}[n1 k1])
                       * W_{N2}[n2 k2]
-    i.e. reshape -> small DFT over k1 (matmul) -> twiddle -> small DFT over
-    k2 (matmul) -> transpose-reshape. The transposes are XLA relayouts, the
-    twiddle fuses into the matmul epilogue.
+    i.e. reshape -> small DFT over k1 (matmul) -> twiddle (elementwise,
+    fused by XLA) -> small DFT over k2 (matmul) -> transpose-reshape.
+    real_out keeps only the real plane of the final stage. out_alt folds
+    (-1)^(output index) into the tables: the output index is n1 + N1*n2
+    with N1 even, so (-1)^n = (-1)^(n1) — a row scaling of W1.
     """
-    n = x.shape[-1]
+    n = xr.shape[-1]
     n1, n2 = _split(n)
-    batch = x.shape[:-1]
-    xs = x.reshape(batch + (n1, n2))  # X[k1, k2], row-major: k = N2*k1 + k2
+    batch = xr.shape[:-1]
+    xr = xr.reshape(batch + (n1, n2))  # X[k1, k2], row-major: k = N2*k1 + k2
+    xi = xi.reshape(batch + (n1, n2))
 
-    w1r, w1i = _dft_matrix_np(n1, 1)
-    w1 = jnp.asarray(w1r) + 1j * jnp.asarray(w1i)
-    w2r, w2i = _dft_matrix_np(n2, 1)
-    w2 = jnp.asarray(w2r) + 1j * jnp.asarray(w2i)
-    tr, ti = _twiddle_np(n1, n2, 1)
-    tw = jnp.asarray(tr) + 1j * jnp.asarray(ti)
+    if out_alt:
+        w1r, w1i = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(n1, 1, 0, negate))
+    else:
+        w1r, w1i = (jnp.asarray(a) for a in _dft_matrix_np(n1, 1))
+    w2r, w2i = (jnp.asarray(a) for a in _dft_matrix_np(n2, 1))
+    tr, ti = (jnp.asarray(a) for a in _twiddle_np(n1, n2, 1))
 
-    # A[n1, k2] = sum_k1 W1[n1, k1] X[k1, k2]
-    a = jnp.einsum("nk,...kj->...nj", w1, xs, precision=_HIGHEST)
-    b = a * tw
-    # Y[n1, n2] = sum_k2 B[n1, k2] W2[n2, k2]
-    y = jnp.einsum("...nk,mk->...nm", b, w2, precision=_HIGHEST)
-    # y_flat[n1 + N1*n2] = Y[n1, n2] -> transpose to (n2, n1) then flatten.
-    return jnp.swapaxes(y, -1, -2).reshape(batch + (n,))
+    def lmm(w, x):  # A = W @ X over the n1 axis
+        return jnp.einsum("nk,...kj->...nj", w, x, precision=prec)
 
+    ar = lmm(w1r, xr) - lmm(w1i, xi)
+    ai = lmm(w1r, xi) + lmm(w1i, xr)
+    br = ar * tr - ai * ti
+    bi = ar * ti + ai * tr
+
+    def rmm(x, w):  # Y = B @ W^T over the n2 axis
+        return jnp.einsum("...nk,mk->...nm", x, w, precision=prec)
+
+    yr = rmm(br, w2r) - rmm(bi, w2i)
+    # y_flat[n1 + N1*n2] = Y[n1, n2] -> swap to (n2, n1) then flatten.
+    out_r = jnp.swapaxes(yr, -1, -2).reshape(batch + (n,))
+    if real_out:
+        return out_r, None
+    yi = rmm(br, w2i) + rmm(bi, w2r)
+    return out_r, jnp.swapaxes(yi, -1, -2).reshape(batch + (n,))
+
+
+def _ifft_last_planes(xr, xi, prec, direct_max: int, real_out: bool):
+    n = xr.shape[-1]
+    if n <= direct_max:
+        return _direct_last(xr, xi, prec, real_out)
+    return _foursteps_last(xr, xi, prec, real_out)
+
+
+def ifft1d_real_unnorm(
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    axis: int = -1,
+    direct_max: int = 1024,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Re(unnormalized inverse DFT) along ``axis``, plane-pair inputs."""
+    prec = resolve_precision(precision)
+    if axis not in (-1, xr.ndim - 1):
+        xr = jnp.moveaxis(xr, axis, -1)
+        xi = jnp.moveaxis(xi, axis, -1)
+        y, _ = _ifft_last_planes(xr, xi, prec, direct_max, real_out=True)
+        return jnp.moveaxis(y, -1, axis)
+    y, _ = _ifft_last_planes(xr, xi, prec, direct_max, real_out=True)
+    return y
+
+
+# --------------------------------------------------------------------------
+# Public complex-typed wrappers (tests / external callers / golden paths).
+# --------------------------------------------------------------------------
 
 def ifft1d_unnorm(x: jnp.ndarray, axis: int = -1, impl: Impl = "matmul",
-                  direct_max: int = 1024) -> jnp.ndarray:
+                  direct_max: int = 1024, precision: str = "highest") -> jnp.ndarray:
     """Unnormalized inverse DFT (= N * ifft) along ``axis``."""
     x = jnp.asarray(x)
     if not jnp.issubdtype(x.dtype, jnp.complexfloating):
@@ -152,17 +243,16 @@ def ifft1d_unnorm(x: jnp.ndarray, axis: int = -1, impl: Impl = "matmul",
     n = x.shape[axis]
     if impl == "xla":
         return jnp.fft.ifft(x, axis=axis) * n
-    if axis != -1 and axis != x.ndim - 1:
-        x = jnp.moveaxis(x, axis, -1)
-        y = ifft1d_unnorm(x, -1, impl, direct_max)
+    prec = resolve_precision(precision)
+    if axis not in (-1, x.ndim - 1):
+        y = ifft1d_unnorm(jnp.moveaxis(x, axis, -1), -1, impl, direct_max, precision)
         return jnp.moveaxis(y, -1, axis)
-    if n <= direct_max:
-        return _ifft_last_matmul_direct(x)
-    return _ifft_last_matmul_foursteps(x)
+    yr, yi = _ifft_last_planes(jnp.real(x), jnp.imag(x), prec, direct_max, real_out=False)
+    return jax.lax.complex(yr, yi)
 
 
 def ifft2_unnorm(x: jnp.ndarray, impl: Impl = "matmul",
-                 direct_max: int = 1024) -> jnp.ndarray:
+                 direct_max: int = 1024, precision: str = "highest") -> jnp.ndarray:
     """Unnormalized 2-D inverse DFT over the last two axes (= N*M * ifft2).
 
     Matches the reference's row-pass + col-pass composition
@@ -175,13 +265,8 @@ def ifft2_unnorm(x: jnp.ndarray, impl: Impl = "matmul",
     m, n = x.shape[-2], x.shape[-1]
     if impl == "xla":
         return jnp.fft.ifftn(x, axes=(-2, -1)) * (m * n)
-    if m == n and n <= direct_max:
-        # Y = W @ X @ W (W symmetric). Two complex matmuls, fully on MXU.
-        wr, wi = dft_matrices(n, sign=1)
-        w = jax.lax.complex(wr, wi)
-        return jnp.matmul(jnp.matmul(w, x, precision=_HIGHEST), w, precision=_HIGHEST)
-    y = ifft1d_unnorm(x, axis=-1, impl=impl, direct_max=direct_max)
-    return ifft1d_unnorm(y, axis=-2, impl=impl, direct_max=direct_max)
+    y = ifft1d_unnorm(x, axis=-1, impl=impl, direct_max=direct_max, precision=precision)
+    return ifft1d_unnorm(y, axis=-2, impl=impl, direct_max=direct_max, precision=precision)
 
 
 def ifft2_real_unnorm(
@@ -190,34 +275,57 @@ def ifft2_real_unnorm(
     impl: Impl = "matmul",
     direct_max: int = 1024,
     precision: str = "highest",
+    centered: str | None = None,
 ) -> jnp.ndarray:
     """Real part of the unnormalized 2-D inverse DFT, from (re, im) planes.
 
     This is the hot path of ``step()``: the correction pass keeps only the
-    real component (``shader/correction.comp:31``), so the final column-pass
-    matmul needs just Re(W @ A) = Wr@Ar - Wi@Ai — 6 real MXU matmuls per
-    field instead of the 8 a full complex transform costs (25% fewer FLOPs).
+    real component (``shader/correction.comp:31``), so the column pass needs
+    just Re(W @ A) — 6 real MXU matmuls per field instead of 8 at direct
+    sizes, and a real-only final stage in the four-step regime.
 
     Args:
         xr, xi: float32 (..., N, N) spectrum planes (complex never crosses
             the jit boundary — ``utils/complexpair.py``).
-        precision: "highest" (bf16x6, f32-equivalent), "high" (bf16x3,
-            ~2x MXU throughput, ~1e-6 relative error), or "default".
+        centered: None for the plain transform; "ref" / "canonical" applies
+            the (-1)^(x+y) centering fix-up of ``shader/correction.comp:29``
+            (reference or canonical sign convention) for free by folding it
+            into the DFT tables — the whole correction pass vanishes.
     """
     prec = resolve_precision(precision)
-    m, n = xr.shape[-2], xr.shape[-1]
+    if centered not in (None, "ref", "canonical"):
+        raise ValueError(f"centered must be None|'ref'|'canonical', got {centered!r}")
+    fold = centered is not None
+    negate = centered == "ref"  # Q2: the reference's extra global flip
     if impl == "xla":
-        return jnp.real(ifft2_unnorm(jax.lax.complex(xr, xi), impl="xla"))
-    if not (m == n and n <= direct_max):
-        y = ifft1d_unnorm(jax.lax.complex(xr, xi), axis=-1, impl=impl, direct_max=direct_max)
-        yr, yi = jnp.real(y), jnp.imag(y)
-        wr_m, wi_m = dft_matrices(m, sign=1)
-        # Column pass from the left, real output only.
-        return (jnp.matmul(wr_m, yr, precision=prec)
-                - jnp.matmul(wi_m, yi, precision=prec))
-    wr, wi = dft_matrices(n, sign=1)
-    # Row pass (full complex): A = X @ W.
-    ar = jnp.matmul(xr, wr, precision=prec) - jnp.matmul(xi, wi, precision=prec)
-    ai = jnp.matmul(xr, wi, precision=prec) + jnp.matmul(xi, wr, precision=prec)
-    # Column pass, real output only: Re(W @ A).
-    return jnp.matmul(wr, ar, precision=prec) - jnp.matmul(wi, ai, precision=prec)
+        m, n = xr.shape[-2], xr.shape[-1]
+        out = jnp.real(jnp.fft.ifftn(jax.lax.complex(xr, xi), axes=(-2, -1))) * (m * n)
+        if fold:
+            from gfx_ocean_tpu.ops.derived import correction_sign  # noqa: PLC0415
+
+            out = out * correction_sign(n, ref_sign=negate)
+        return out
+    # Row pass along the last axis (full complex planes); fold the x-axis
+    # half of the centering sign into its output table.
+    n = xr.shape[-1]
+    if n <= direct_max:
+        ar, ai = _direct_last(xr, xi, prec, real_out=False, out_alt=fold)
+    else:
+        ar, ai = _foursteps_last(xr, xi, prec, real_out=False, out_alt=fold)
+    # Column pass along axis -2, real output only; folds the y-axis half
+    # (and the global Q2 flip). For the direct regime, multiply from the
+    # left (no transpose needed); otherwise transpose into the last axis
+    # for the four-step and transpose back.
+    m = xr.shape[-2]
+    if m <= direct_max:
+        if fold:
+            wr, wi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(m, 1, 0, negate))
+        else:
+            wr, wi = dft_matrices(m, sign=1)
+        return jnp.matmul(wr, ar, precision=prec) - jnp.matmul(wi, ai, precision=prec)
+    # Measured on v5e the swap formulation beats both the transpose-free
+    # einsum form and XLA's FFT HLO at N = 4096.
+    ar = jnp.swapaxes(ar, -1, -2)
+    ai = jnp.swapaxes(ai, -1, -2)
+    y, _ = _foursteps_last(ar, ai, prec, real_out=True, out_alt=fold, negate=negate)
+    return jnp.swapaxes(y, -1, -2)

@@ -1,0 +1,75 @@
+"""Fused Pallas step kernel — interpret mode on CPU (SURVEY.md §5: the
+Pallas analog of the reference's fake-backend compile checks), correctness
+vs the float64 golden across all compat flags."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gfx_ocean_tpu as ot
+from gfx_ocean_tpu.config import CompatFlags
+from gfx_ocean_tpu.golden.reference import golden_fields
+from gfx_ocean_tpu.models.ocean import downsample_state
+from gfx_ocean_tpu.ops.pallas_step import pallas_fields
+from gfx_ocean_tpu.utils.complexpair import from_pair_np
+
+
+@pytest.fixture(scope="module")
+def state128():
+    return downsample_state(ot.ocean_state_from_assets(), 128)
+
+
+@pytest.mark.parametrize("flags", [
+    CompatFlags(),
+    CompatFlags(wrap_k=True),
+    CompatFlags(ref_sign=False),
+    CompatFlags(conj_neg=True),
+])
+def test_pallas_step_matches_golden(state128, flags):
+    cfg = ot.OceanConfig(resolution=128, fft_impl="pallas",
+                         matmul_precision="highest", compat=flags)
+    disp = np.asarray(pallas_fields(state128.h0, state128.omega,
+                                    jnp.float32(3.25), cfg, interpret=True))
+    want = golden_fields(from_pair_np(np.asarray(state128.h0)),
+                         np.asarray(state128.omega), 3.25, 1000.0, flags)
+    err = np.abs(disp - want).max() / np.abs(want).max()
+    assert err < 1e-5, f"{flags}: {err:.2e}"
+
+
+def test_pallas_matches_jnp_path(state128):
+    t = jnp.float32(7.5)
+    cfg_p = ot.OceanConfig(resolution=128, fft_impl="pallas",
+                           matmul_precision="highest", compute_normals=False)
+    cfg_m = ot.OceanConfig(resolution=128, fft_impl="matmul",
+                           matmul_precision="highest", compute_normals=False)
+    a = np.asarray(pallas_fields(state128.h0, state128.omega, t, cfg_p,
+                                 interpret=True))
+    b = np.asarray(ot.make_step(cfg_m)(state128, t).displacement)
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-6
+
+
+def test_pallas_dot3_accuracy(state128):
+    """bf16x3 ('high') must stay well inside the 1e-4 budget."""
+    cfg = ot.OceanConfig(resolution=128, fft_impl="pallas", matmul_precision="high")
+    disp = np.asarray(pallas_fields(state128.h0, state128.omega,
+                                    jnp.float32(3.25), cfg, interpret=True))
+    want = golden_fields(from_pair_np(np.asarray(state128.h0)),
+                         np.asarray(state128.omega), 3.25, 1000.0, cfg.compat)
+    err = np.abs(disp - want).max() / np.abs(want).max()
+    assert err < 5e-5, f"dot3 error {err:.2e}"
+
+
+def test_pallas_rejects_large_grid(state128):
+    cfg = ot.OceanConfig(resolution=1024, fft_impl="pallas")
+    h0 = jnp.zeros((2, 1024, 1024), jnp.float32)
+    om = jnp.zeros((1024, 1024), jnp.float32)
+    with pytest.raises(ValueError, match="N <= 512"):
+        pallas_fields(h0, om, jnp.float32(0.0), cfg, interpret=True)
+
+
+def test_pallas_rejects_batched(state128):
+    cfg = ot.OceanConfig(resolution=128, fft_impl="pallas")
+    with pytest.raises(ValueError, match="unbatched"):
+        pallas_fields(state128.h0[None], state128.omega[None],
+                      jnp.float32(0.0), cfg, interpret=True)

@@ -1,0 +1,262 @@
+"""Command-line driver — the headless analog of the reference's app loop.
+
+The reference's entry point opens a window and drives winit events into
+the renderer (``src/lib.rs:42-171``); on a TPU host the equivalents are:
+
+    simulate  — run a rollout, print per-frame stats, optionally save
+                fields / a checkpoint (the frame loop)
+    bench     — measure steps/sec (the title-bar ms, done honestly)
+    synth     — generate initial conditions from wind parameters and save
+                them in the reference's bincode format (the missing
+                offline asset generator, SURVEY.md §3.4)
+    render    — rasterize frames along a scripted camera to .npy/.png
+    info      — show config, devices, asset stats
+
+Every GLSL literal of the reference is a flag here (SURVEY.md §5 config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--domain-size", type=float, default=1000.0)
+    p.add_argument("--fft-impl", choices=("matmul", "xla", "pallas"), default="matmul")
+    p.add_argument("--precision", choices=("highest", "high", "default"), default="high")
+    p.add_argument("--cascades", type=int, default=1)
+    p.add_argument("--normals", action="store_true", default=True)
+    p.add_argument("--no-normals", dest="normals", action="store_false")
+    p.add_argument("--foam", action="store_true")
+    p.add_argument("--compat-wrap-k", action="store_true",
+                   help="replicate the reference's uint32 wavenumber wrap (Q1)")
+    p.add_argument("--canonical-sign", action="store_true",
+                   help="use the canonical (-1)^(x+y) instead of the reference's flip (Q2)")
+    p.add_argument("--conj-neg", action="store_true",
+                   help="canonical Tessendorf conjugate pairing instead of the reference's")
+    p.add_argument("--spectrum", type=str, default=None, help="path to spectrum.bin")
+    p.add_argument("--omega", type=str, default=None, help="path to omega.bin")
+    p.add_argument("--phillips", action="store_true",
+                   help="synthesize initial conditions instead of loading assets")
+    p.add_argument("--wind-speed", type=float, default=31.0)
+    p.add_argument("--wind-dir", type=float, nargs=2, default=(1.0, 0.0))
+    p.add_argument("--amplitude", type=float, default=3.0e-7)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _build(args):
+    from gfx_ocean_tpu import OceanConfig, CompatFlags, PhillipsConfig
+    from gfx_ocean_tpu.models.ocean import (
+        downsample_state, ocean_state_from_assets, ocean_state_from_phillips)
+
+    config = OceanConfig(
+        resolution=args.resolution,
+        domain_size=args.domain_size,
+        fft_impl=args.fft_impl,
+        matmul_precision=args.precision,
+        num_cascades=args.cascades,
+        compute_normals=args.normals,
+        compute_foam=args.foam,
+        compat=CompatFlags(
+            wrap_k=args.compat_wrap_k,
+            ref_sign=not args.canonical_sign,
+            conj_neg=args.conj_neg,
+        ),
+    )
+    phillips = PhillipsConfig(
+        amplitude=args.amplitude,
+        wind_speed=args.wind_speed,
+        wind_direction=tuple(args.wind_dir),
+        seed=args.seed,
+    )
+    if args.phillips or args.cascades > 1:
+        state = ocean_state_from_phillips(config, phillips)
+    else:
+        state = ocean_state_from_assets(args.spectrum, args.omega, resolution=None)
+        n = state.h0.shape[-1]
+        if n != config.resolution:
+            if config.resolution < n:
+                state = downsample_state(state, config.resolution)
+            else:
+                raise SystemExit(f"assets are {n}^2; cannot upsample to "
+                                 f"{config.resolution}^2 — use --phillips")
+    return config, phillips, state
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    config, phillips, state = _build(args)
+    print(json.dumps({
+        "devices": [str(d) for d in jax.devices()],
+        "config": dataclasses.asdict(config),
+        "phillips": dataclasses.asdict(phillips),
+        "state": {"h0": list(state.h0.shape), "omega": list(state.omega.shape)},
+    }, indent=2))
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    import jax.numpy as jnp
+
+    from gfx_ocean_tpu import make_rollout, make_step
+    from gfx_ocean_tpu.checkpoint import load_checkpoint, save_checkpoint, save_fields
+
+    if args.resume:
+        state, t0, config = load_checkpoint(args.resume)
+        print(f"resumed from {args.resume} at t={t0}", file=sys.stderr)
+    else:
+        config, _, state = _build(args)
+        t0 = args.t0
+
+    ts = t0 + np.arange(args.steps, dtype=np.float32) * args.dt
+    if args.save_fields:
+        step = make_step(config)
+        os.makedirs(args.save_fields, exist_ok=True)
+        for i, t in enumerate(ts):
+            out = step(state, jnp.float32(t))
+            save_fields(os.path.join(args.save_fields, f"frame_{i:05d}.npz"),
+                        out.displacement, out.normals, out.foam, t=float(t))
+        print(f"saved {len(ts)} frames to {args.save_fields}")
+    else:
+        rollout = make_rollout(config, keep_fields=False)
+        sums = np.asarray(rollout(state, jnp.asarray(ts)))
+        print(json.dumps({"frames": len(ts), "t0": float(t0),
+                          "t1": float(ts[-1]), "checksums_head": sums[:5].tolist()}))
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, state, float(ts[-1]) + args.dt, config)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax.numpy as jnp
+
+    from gfx_ocean_tpu import make_rollout
+    from gfx_ocean_tpu.utils.profiling import time_rollout, trace
+
+    config, _, state = _build(args)
+    rollout = make_rollout(config, keep_fields=False, time_batch=args.time_batch)
+    ts = jnp.arange(args.steps, dtype=jnp.float32) * args.dt
+    if args.trace_dir:
+        with trace(args.trace_dir):
+            stats = time_rollout(rollout, state, ts, repeats=1)
+    else:
+        stats = time_rollout(rollout, state, ts, repeats=args.repeats)
+    stats.update(resolution=config.resolution, fft_impl=config.fft_impl,
+                 precision=config.matmul_precision, time_batch=args.time_batch)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from gfx_ocean_tpu.assets.bincode import save_omega, save_spectrum
+    from gfx_ocean_tpu.utils.complexpair import from_pair_np
+
+    config, phillips, state = _build(args)
+    if state.h0.ndim != 3:
+        raise SystemExit("synth writes one cascade; use --cascades 1")
+    h0 = from_pair_np(np.asarray(state.h0))
+    save_spectrum(args.out_spectrum, h0)
+    save_omega(args.out_omega, np.asarray(state.omega))
+    print(f"wrote {args.out_spectrum} and {args.out_omega} "
+          f"({config.resolution}^2, bincode)")
+    return 0
+
+
+def cmd_render(args) -> int:
+    import jax.numpy as jnp
+
+    from gfx_ocean_tpu import make_step
+    from gfx_ocean_tpu.render import render_frame
+    from gfx_ocean_tpu.render.camera import Camera, scripted_camera
+
+    config, _, state = _build(args)
+    if state.h0.ndim != 3:
+        raise SystemExit("render uses a single cascade")
+    step = make_step(config)
+    os.makedirs(args.out, exist_ok=True)
+    script = [(args.frames, args.keys.split(",") if args.keys else [])]
+    for i, cam in scripted_camera(script, dt=args.dt, camera=Camera()):
+        t = args.t0 + i * args.dt
+        fields = step(state, jnp.float32(t))
+        img = np.asarray(render_frame(
+            fields.displacement, cam, width=args.width, height=args.height,
+            mesh_resolution=config.mesh_resolution,
+            num_patches=config.num_patches, samples=args.samples))
+        path = os.path.join(args.out, f"frame_{i:05d}")
+        np.save(path + ".npy", img)
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
+            Image.fromarray(srgb).save(path + ".png")
+        except ImportError:
+            pass
+    print(f"rendered {args.frames} frames to {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="gfx_ocean_tpu",
+        description="TPU-native FFT ocean simulation (gfx-rs/gfx-ocean rebuilt for TPU)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info", help="show config / devices / asset stats")
+    _add_common(p)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("simulate", help="run a rollout")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--dt", type=float, default=1 / 60)
+    p.add_argument("--t0", type=float, default=0.0)
+    p.add_argument("--save-fields", type=str, default=None,
+                   help="directory for per-frame field .npz dumps")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None)
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("bench", help="measure steps/sec")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--dt", type=float, default=1 / 60)
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--time-batch", type=int, default=4)
+    p.add_argument("--trace-dir", type=str, default=None,
+                   help="write a jax.profiler trace here")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("synth", help="generate spectrum.bin / omega.bin")
+    _add_common(p)
+    p.add_argument("--out-spectrum", type=str, default="spectrum.bin")
+    p.add_argument("--out-omega", type=str, default="omega.bin")
+    p.set_defaults(fn=cmd_synth, phillips=True)
+
+    p = sub.add_parser("render", help="rasterize frames along a scripted camera")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--dt", type=float, default=1 / 60)
+    p.add_argument("--t0", type=float, default=0.0)
+    p.add_argument("--width", type=int, default=600)
+    p.add_argument("--height", type=int, default=350)
+    p.add_argument("--samples", type=int, default=32)
+    p.add_argument("--keys", type=str, default="",
+                   help="comma-separated held keys (w,s,left,right,up,down)")
+    p.add_argument("--out", type=str, default="frames")
+    p.set_defaults(fn=cmd_render)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

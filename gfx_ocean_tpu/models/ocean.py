@@ -89,7 +89,16 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig) -> OceanFields:
         normals = finite_difference_normals(disp[..., 1], config.normal_height_scale)
     foam = None
     if config.compute_foam:
-        foam = jacobian_foam(disp, config)
+        if config.num_cascades > 1 and disp.ndim >= 4 and disp.shape[-4] == config.num_cascades:
+            # Per-cascade grid spacing (each cascade has its own patch size;
+            # the spectrum math itself is scale-invariant since k_hat is
+            # normalized, so only foam needs the per-cascade domain).
+            foam = jnp.stack([
+                jacobian_foam(disp[..., c, :, :, :], config, domain_size=dom)
+                for c, dom in enumerate(config.domains)
+            ], axis=-3)
+        else:
+            foam = jacobian_foam(disp, config)
     return OceanFields(displacement=disp, normals=normals, foam=foam)
 
 

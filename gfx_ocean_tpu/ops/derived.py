@@ -85,14 +85,17 @@ def finite_difference_normals(height: jnp.ndarray, height_scale: float = 180.0) 
 def jacobian_foam(
     displacement: jnp.ndarray,
     config: OceanConfig,
+    domain_size: float | None = None,
 ) -> jnp.ndarray:
     """Whitecap mask from the Jacobian of the horizontal displacement map.
 
     J = (1 + l*dDx/dx)(1 + l*dDz/dz) - (l*dDx/dz)(l*dDz/dx); foam = J < thr.
-    Central differences with wrap; grid spacing = L / N. Returns f32 mask.
+    Central differences with wrap; grid spacing = L / N (pass
+    ``domain_size`` to override for a cascade's own patch size).
+    Returns f32 mask.
     """
     n = displacement.shape[-2]
-    spacing = config.domain_size / n
+    spacing = (domain_size if domain_size is not None else config.domain_size) / n
     lam = jnp.float32(config.foam_lambda)
     inv2h = jnp.float32(1.0 / (2.0 * spacing))
 

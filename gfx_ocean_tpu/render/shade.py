@@ -1,0 +1,102 @@
+"""Fragment shading: stylized water of ``shader/ocean.frag``.
+
+Faithful port of the fragment math (all constants cited):
+
+- finite-difference normals from +-1-texel height taps with
+  height_scale = 180 and diff = 2/dim (``ocean.frag:19, 50-67``);
+- depth ramp albedo ``mix(shallow, deep, 1 - clamp((y+10)/50, 0, 1.5)^1.2)``
+  (``ocean.frag:22-24, 69-70``);
+- Schlick Fresnel with f0 = (0.04, 0.04, 0.07), f90 = 1 (``ocean.frag:28-30,
+  83``);
+- final color ``max(0.7, NdotL) * albedo * (1 - F)``, fixed light direction
+  (1, 0.2, 0) (``ocean.frag:72, 85``). The GGX D/G helpers are defined but
+  unused in the reference's final color (SURVEY.md §2.2) — same here.
+
+Everything is jnp and batch-friendly: inputs are (..., ) pixel arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+SHALLOW = np.array([0.0, 0.86, 0.79], dtype=np.float32)
+DEEP = np.array([0.03, 0.08, 0.18], dtype=np.float32)
+F0 = np.array([0.04, 0.04, 0.07], dtype=np.float32)
+LIGHT_DIR = np.array([1.0, 0.2, 0.0], dtype=np.float32) / np.linalg.norm([1.0, 0.2, 0.0])
+HEIGHT_SCALE = 180.0
+CLEAR_COLOR = np.array([0.6, 0.6, 0.6], dtype=np.float32)
+
+
+def _normalize(v, axis=-1):
+    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+
+
+def _sample_bilinear_wrap(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of tex[(y, x), C] at normalized (u, v), repeat wrap.
+
+    Matches the reference sampler (linear filter, Tile wrap,
+    ``src/render.rs:397-398``); GL-style texel centers at (i + 0.5) / N.
+    """
+    n_y, n_x = tex.shape[0], tex.shape[1]
+    x = u * n_x - 0.5
+    y = v * n_y - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), n_x)
+    y0i = jnp.mod(y0.astype(jnp.int32), n_y)
+    x1i = jnp.mod(x0i + 1, n_x)
+    y1i = jnp.mod(y0i + 1, n_y)
+    t00 = tex[y0i, x0i]
+    t10 = tex[y0i, x1i]
+    t01 = tex[y1i, x0i]
+    t11 = tex[y1i, x1i]
+    return ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
+            + (t01 * (1 - fx) + t11 * fx) * fy)
+
+
+def sample_displacement(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
+    """(N, N, 3) displacement texture sampled at (u, v) — ``ocean.vert:21``."""
+    return _sample_bilinear_wrap(displacement, u, v)
+
+
+def fragment_normals(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
+    """textureOffset +-1 taps on the raw height channel (``ocean.frag:54-67``)."""
+    n_y, n_x = displacement.shape[0], displacement.shape[1]
+    h = displacement[..., 1:2]
+    du = 1.0 / n_x
+    dv = 1.0 / n_y
+    x0 = _sample_bilinear_wrap(h, u - du, v)[..., 0]
+    x1 = _sample_bilinear_wrap(h, u + du, v)[..., 0]
+    z0 = _sample_bilinear_wrap(h, u, v - dv)[..., 0]
+    z1 = _sample_bilinear_wrap(h, u, v + dv)[..., 0]
+    diff_x = 2.0 / n_x
+    diff_y = 2.0 / n_y
+    gx = (x1 - x0) / HEIGHT_SCALE
+    gz = (z1 - z0) / HEIGHT_SCALE
+    na = _normalize(jnp.stack([jnp.full_like(gx, -diff_x), gx, jnp.zeros_like(gx)], -1))
+    nb = _normalize(jnp.stack([jnp.zeros_like(gz), gz, jnp.full_like(gz, diff_y)], -1))
+    return _normalize(jnp.cross(na, nb))
+
+
+def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos) -> jnp.ndarray:
+    """Full ``ocean.frag`` color for pixel arrays. Returns (..., 3)."""
+    n = fragment_normals(displacement, u, v)
+
+    depth = 1.0 - jnp.clip((world_pos[..., 1] + 10.0) / 50.0, 0.0, 1.5) ** 1.2
+    albedo = SHALLOW[None] * (1.0 - depth[..., None]) + DEEP[None] * depth[..., None]
+    # NB: mix(shallow, deep, depth) == shallow*(1-depth) + deep*depth; with
+    # the clamp to 1.5 the mix can extrapolate, exactly as in GLSL.
+
+    light = jnp.asarray(LIGHT_DIR)
+    view = _normalize(jnp.asarray(camera_pos) - world_pos)
+    h_vec = _normalize(light + view)
+
+    ndotl = jnp.clip(jnp.sum(n * light, axis=-1), 0.0001, 1.0)
+    hdotv = jnp.clip(jnp.sum(h_vec * view, axis=-1), 0.0, 1.0)
+
+    f = F0[None] + (1.0 - F0[None]) * (1.0 - hdotv[..., None]) ** 5.0
+    color = jnp.maximum(0.7, ndotl)[..., None] * albedo * (1.0 - f)
+    return color

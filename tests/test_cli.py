@@ -1,0 +1,98 @@
+"""CLI driver + checkpoint round-trips (app-loop layer, SURVEY.md L4/L7)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import gfx_ocean_tpu as ot
+from gfx_ocean_tpu.checkpoint import load_checkpoint, save_checkpoint, save_fields
+from gfx_ocean_tpu.cli import main
+from gfx_ocean_tpu.models.ocean import downsample_state
+
+
+BASE = ["--resolution", "64", "--no-normals"]
+
+
+def test_cli_info(capsys):
+    assert main(["info", *BASE]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["config"]["resolution"] == 64
+    assert out["state"]["h0"] == [2, 64, 64]
+
+
+def test_cli_simulate_and_resume(tmp_path, capsys):
+    ck = str(tmp_path / "state.npz")
+    assert main(["simulate", *BASE, "--steps", "4", "--checkpoint", ck]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["frames"] == 4
+    state, t, config = load_checkpoint(ck)
+    assert t > 0 and config.resolution == 64
+    assert main(["simulate", *BASE, "--steps", "2", "--resume", ck]) == 0
+
+
+def test_cli_simulate_save_fields(tmp_path, capsys):
+    d = str(tmp_path / "fields")
+    assert main(["simulate", *BASE, "--steps", "2", "--save-fields", d]) == 0
+    files = sorted(os.listdir(d))
+    assert files == ["frame_00000.npz", "frame_00001.npz"]
+    with np.load(os.path.join(d, files[0])) as z:
+        assert z["displacement"].shape == (64, 64, 3)
+
+
+def test_cli_bench(capsys):
+    assert main(["bench", *BASE, "--steps", "8", "--repeats", "1",
+                 "--time-batch", "2"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["steps_per_sec"] > 0
+    assert out["resolution"] == 64
+
+
+def test_cli_synth_roundtrip(tmp_path, capsys):
+    sp = str(tmp_path / "s.bin")
+    op = str(tmp_path / "o.bin")
+    assert main(["synth", "--resolution", "64", "--out-spectrum", sp,
+                 "--out-omega", op]) == 0
+    from gfx_ocean_tpu.assets import load_omega, load_spectrum
+
+    h0 = load_spectrum(sp, 64)
+    om = load_omega(op, 64)
+    assert h0.shape == (64, 64) and om.shape == (64, 64)
+    assert np.isfinite(om).all() and om.max() > 0
+
+
+def test_cli_render(tmp_path, capsys):
+    out = str(tmp_path / "frames")
+    assert main(["render", *BASE, "--frames", "1", "--width", "64",
+                 "--height", "48", "--samples", "8", "--keys", "w",
+                 "--out", out]) == 0
+    img = np.load(os.path.join(out, "frame_00000.npy"))
+    assert img.shape == (48, 64, 3)
+    assert np.isfinite(img).all()
+
+
+def test_cli_phillips_flag(capsys):
+    assert main(["simulate", *BASE, "--phillips", "--steps", "2",
+                 "--wind-speed", "20"]) == 0
+
+
+def test_checkpoint_roundtrip_preserves_bits(tmp_path):
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, num_cascades=1)
+    p = str(tmp_path / "c.npz")
+    save_checkpoint(p, state, 12.5, cfg)
+    state2, t2, cfg2 = load_checkpoint(p)
+    assert t2 == 12.5 and cfg2 == cfg
+    assert np.array_equal(np.asarray(state.h0), np.asarray(state2.h0))
+    assert np.array_equal(np.asarray(state.omega), np.asarray(state2.omega))
+
+
+def test_save_fields_npz(tmp_path):
+    p = str(tmp_path / "f.npz")
+    save_fields(p, np.zeros((4, 4, 3)), t=1.0)
+    with np.load(p) as z:
+        assert z["displacement"].shape == (4, 4, 3)
+        assert float(z["t"]) == 1.0

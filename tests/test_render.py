@@ -1,0 +1,173 @@
+"""Render subsystem: camera parity with src/camera.rs, mesh parity with
+src/render.rs, shading parity with ocean.frag, rasterizer sanity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gfx_ocean_tpu as ot
+from gfx_ocean_tpu.models.ocean import downsample_state
+from gfx_ocean_tpu.render import Camera, InputState, build_grid, look_at, perspective, render_frame
+from gfx_ocean_tpu.render.camera import scripted_camera
+from gfx_ocean_tpu.render.mesh import instantiate
+from gfx_ocean_tpu.render import shade as sh
+
+
+# --- camera (src/camera.rs) -------------------------------------------------
+
+def test_default_view_dir():
+    """rotation (-0.6, -1.5, 0): -z rotated by rx then ry."""
+    cam = Camera()
+    d = cam.view_dir()
+    # hand-computed: v=(0,0,-1); rot_x(-0.6): (0, -sin(.6)... )
+    rx, ry = -0.6, -1.5
+    v = np.array([0.0, 0.0, -1.0])
+    v1 = np.array([0.0, np.sin(rx) * -(-1) * -1, 0.0])  # placeholder, compute directly below
+    cx, sx_ = np.cos(rx), np.sin(rx)
+    v1 = np.array([0.0, cx * 0 - sx_ * (-1), sx_ * 0 + cx * (-1)])
+    cy, sy_ = np.cos(ry), np.sin(ry)
+    v2 = np.array([cy * v1[0] + sy_ * v1[2], v1[1], -sy_ * v1[0] + cy * v1[2]])
+    np.testing.assert_allclose(d, v2, atol=1e-12)
+    assert np.isclose(np.linalg.norm(d), 1.0)
+
+
+def test_keyboard_semantics_q7():
+    """W/S + arrows handled; A/D ignored (SURVEY.md Q7)."""
+    st = InputState()
+    st.press("w"); assert st.forward == 1.0
+    st.release("w"); assert st.forward == 0.0
+    st.press("a"); st.press("d")
+    assert st.forward == 0.0 and st.rot_x == 0.0 and st.rot_y == 0.0
+    st.press("left"); assert st.rot_y == 1.0
+    st.press("down"); assert st.rot_x == -1.0
+
+
+def test_touch_semantics():
+    st = InputState()
+    st.touch("started", x=800, screen_width=1000)
+    assert st.rot_y == -1.0
+    st.touch("ended", x=800, screen_width=1000)
+    assert st.rot_y == 0.0
+    st.touch("started", x=100, screen_width=1000)
+    assert st.rot_y == 1.0
+
+
+def test_update_speeds():
+    """move 90*dt along view_dir; rotate 2*dt (src/camera.rs:126-133)."""
+    cam = Camera(position=np.zeros(3), rotation=np.zeros(3))
+    cam.input.forward = 1.0
+    cam.update(0.1)
+    np.testing.assert_allclose(cam.position, [0, 0, -9.0], atol=1e-12)
+    cam.input.forward = 0.0
+    cam.input.rot_y = -1.0
+    cam.update(0.5)
+    assert np.isclose(cam.rotation[1], -1.0)
+
+
+def test_look_at_properties():
+    eye = np.array([1.0, 2.0, 3.0])
+    m = look_at(eye, np.array([4.0, 2.0, 3.0]), np.array([0.0, 1.0, 0.0]))
+    # eye maps to origin
+    np.testing.assert_allclose((m @ np.append(eye, 1.0))[:3], 0.0, atol=1e-12)
+    # forward point maps to -z
+    p = (m @ np.array([4.0, 2.0, 3.0, 1.0]))[:3]
+    np.testing.assert_allclose(p, [0, 0, -3.0], atol=1e-12)
+
+
+def test_perspective_matrix():
+    m = perspective(1200 / 700)
+    # glm RH [-1,1]: m[3,2] = -1, near plane z=-near -> ndc z=-1
+    assert m[3, 2] == -1.0
+    v = m @ np.array([0, 0, -0.1, 1.0])
+    assert np.isclose(v[2] / v[3], -1.0)
+    v = m @ np.array([0, 0, -1024.0, 1.0])
+    assert np.isclose(v[2] / v[3], 1.0)
+
+
+def test_scripted_camera_replays():
+    frames = list(scripted_camera([(3, ["w"]), (2, ["left"])], dt=0.01))
+    assert len(frames) == 5
+    # forward moved during first 3 frames
+    assert frames[2][1].position[2] < 120.0
+
+
+# --- mesh (src/render.rs:473-605) -------------------------------------------
+
+def test_grid_counts():
+    m = build_grid(128, 4)
+    assert m.positions.shape == (128 * 128, 3)
+    assert m.indices.shape == (2 * 127 * 127, 3)
+    assert m.indices.size == 96774  # draw_indexed count, src/render.rs:1360
+    assert m.patch_offsets.shape == (4, 2)
+    np.testing.assert_array_equal(m.patch_offsets,
+                                  [[0, 0], [127, 0], [0, 127], [127, 127]])
+
+
+def test_grid_uv_and_positions():
+    m = build_grid(4, 1)
+    # vertex index z*h + x; uv normalized by h-1
+    np.testing.assert_allclose(m.positions[5], [1, 0, 1])  # z=1,x=1
+    np.testing.assert_allclose(m.uvs[5], [1 / 3, 1 / 3])
+    p, uv, t = instantiate(m)
+    assert p.shape == (16, 3) and t.shape == (18, 3)
+
+
+# --- shading (shader/ocean.frag) --------------------------------------------
+
+def test_bilinear_sampler_wrap():
+    tex = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4, 1))
+    # texel centers: u=(x+0.5)/4 — sampling dead center returns the texel
+    v = sh._sample_bilinear_wrap(tex, jnp.float32(0.375), jnp.float32(0.625))
+    assert np.isclose(float(v[0]), 9.0)  # y=2,x=1 -> 2*4+1
+    # wrap: u just past 1.0 equals u just past 0.0
+    a = sh._sample_bilinear_wrap(tex, jnp.float32(1.03), jnp.float32(0.375))
+    b = sh._sample_bilinear_wrap(tex, jnp.float32(0.03), jnp.float32(0.375))
+    assert np.isclose(float(a[0]), float(b[0]), atol=1e-5)
+
+
+def test_shade_depth_ramp_extremes():
+    disp = jnp.zeros((8, 8, 3), jnp.float32)
+    u = jnp.full((2,), 0.5); v = jnp.full((2,), 0.5)
+    deep_pos = jnp.asarray([[0.0, -10.0, 0.0], [0.0, 65.0, 0.0]], jnp.float32)
+    cam = jnp.asarray([0.0, 50.0, 100.0], jnp.float32)
+    c = np.asarray(sh.shade_fragments(disp, u, v, deep_pos, cam))
+    # y=-10 -> depth=1 -> deep color tint; y=65 -> clamp 1.5 -> extrapolated
+    assert c[0, 2] > c[0, 1] * 0.9  # deep is blue-ish
+    assert np.all(np.isfinite(c))
+
+
+def test_fragment_normals_flat_sea_points_up():
+    disp = jnp.zeros((16, 16, 3), jnp.float32)
+    u = jnp.asarray([0.3]); v = jnp.asarray([0.7])
+    n = np.asarray(sh.fragment_normals(disp, u, v))
+    np.testing.assert_allclose(n[0], [0, 1, 0], atol=1e-6)
+
+
+# --- rasterizer ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def small_frame():
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    img = np.asarray(render_frame(disp, Camera(), width=96, height=64,
+                                  mesh_resolution=128, num_patches=4, samples=16))
+    return img
+
+
+def test_render_shapes_and_coverage(small_frame):
+    img = small_frame
+    assert img.shape == (64, 96, 3)
+    assert np.all(np.isfinite(img))
+    covered = np.abs(img - sh.CLEAR_COLOR).max(-1) > 1e-6
+    assert 0.2 < covered.mean() < 1.0, f"coverage {covered.mean()}"
+    # horizon: top row mostly clear color, bottom row mostly ocean
+    assert covered[-1].mean() > 0.9
+    assert covered[0].mean() < 0.7
+
+
+def test_render_water_is_water_colored(small_frame):
+    img = small_frame
+    covered = np.abs(img - sh.CLEAR_COLOR).max(-1) > 1e-6
+    mean = img[covered].mean(0)
+    assert mean[2] > mean[0], "water should be blue-dominant over red"

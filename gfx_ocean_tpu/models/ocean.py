@@ -27,7 +27,10 @@ import numpy as np
 from gfx_ocean_tpu.config import OceanConfig, PhillipsConfig
 from gfx_ocean_tpu.ops.derived import finite_difference_normals, jacobian_foam
 from gfx_ocean_tpu.ops.fft import ifft2_real_unnorm
-from gfx_ocean_tpu.ops.propagate import propagate_planes
+from gfx_ocean_tpu.ops.propagate import (
+    precompute_propagate,
+    propagate_planes_pre,
+)
 from gfx_ocean_tpu.utils.complexpair import to_pair
 
 
@@ -56,12 +59,17 @@ class OceanFields(NamedTuple):
         return self.displacement[..., 1]
 
 
-def step(state: OceanState, t: jax.Array, config: OceanConfig) -> OceanFields:
+def step(state: OceanState, t: jax.Array, config: OceanConfig,
+         pre: Optional[jax.Array] = None) -> OceanFields:
     """One simulation frame: propagate -> 2D iFFT x3 -> correction (+ extras).
 
     The three spectra are batched into one leading axis so the FFT runs as a
     single batched op instead of the reference's six sequential dispatches
     (``src/render.rs:1158-1231``, SURVEY.md §2.5 "task parallelism").
+
+    ``pre`` optionally passes the time-invariant propagate combination
+    planes (``precompute_propagate``) so rollouts hoist them out of the
+    scan — the flip gathers then happen once per rollout, not per frame.
     """
     if config.fft_impl == "pallas":
         from gfx_ocean_tpu.ops.pallas_step import pallas_fields  # noqa: PLC0415
@@ -72,8 +80,10 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig) -> OceanFields:
             disp = jax.vmap(lambda h, o: pallas_fields(h, o, t, config))(
                 state.h0, state.omega)
     else:
-        specs_r, specs_i = propagate_planes(
-            state.h0, state.omega, t, config.domain_size, config.compat)
+        if pre is None:
+            pre = precompute_propagate(state.h0, config.compat)
+        specs_r, specs_i = propagate_planes_pre(
+            pre, state.omega, t, config.domain_size, config.compat)
         # The centering sign (correction pass) is folded into the DFT
         # tables — correction reduces to channel packing.
         fields = ifft2_real_unnorm(
@@ -128,8 +138,8 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
     and memory traffic without any semaphores.
     """
 
-    def one(state, t):
-        fields = step(state, t, config)
+    def one(state, t, pre=None):
+        fields = step(state, t, config, pre=pre)
         if keep_fields:
             return fields
         # Cheap full-field reduction: forces every output to be computed.
@@ -140,10 +150,11 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
             out = out + jnp.sum(fields.foam, dtype=jnp.float32)
         return out
 
-    def body(state, t):
+    def body(carry, t):
+        state, pre = carry
         if time_batch == 1:
-            return state, one(state, t)
-        return state, jax.vmap(lambda tt: one(state, tt))(t)
+            return carry, one(state, t, pre)
+        return carry, jax.vmap(lambda tt: one(state, tt, pre))(t)
 
     def rollout(state: OceanState, ts: jax.Array):
         if time_batch > 1:
@@ -151,7 +162,9 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
                 raise ValueError(
                     f"len(ts)={ts.shape[0]} not a multiple of time_batch={time_batch}")
             ts = ts.reshape(ts.shape[0] // time_batch, time_batch)
-        _, out = jax.lax.scan(body, state, ts)
+        pre = (None if config.fft_impl == "pallas"
+               else precompute_propagate(state.h0, config.compat))
+        _, out = jax.lax.scan(body, (state, pre), ts)
         if time_batch > 1:
             # Flatten (chunks, batch, ...) back to a frame-major time axis.
             out = jax.tree.map(

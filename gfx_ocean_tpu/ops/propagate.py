@@ -83,6 +83,44 @@ def propagate(
     return h, dx, dz
 
 
+def precompute_propagate(h0_pair: jnp.ndarray, compat: CompatFlags = CompatFlags()):
+    """Time-invariant combination planes of the propagate pass.
+
+    ``h = h0 e^{iwt} + h0n e^{-iwt}`` expands to hr = c*P1 + s*P2,
+    hi = s*P3 + c*P4 with P1..P4 independent of t (P* mix h0 with its
+    both-axes flip). Hoisting them out of a rollout's scan removes the
+    per-step flip gathers and half the propagate reads — worth ~2 ms/step
+    at 4096^2. Returns a (4, ..., N, N) stack (P1, P2, P3, P4).
+    """
+    h0r = h0_pair[..., 0, :, :]
+    h0i = h0_pair[..., 1, :, :]
+    h0nr = h0r[..., ::-1, ::-1]
+    h0ni = h0i[..., ::-1, ::-1]
+    if compat.conj_neg:
+        h0ni = -h0ni
+    return jnp.stack([h0r + h0nr, h0ni - h0i, h0r - h0nr, h0i + h0ni], axis=0)
+
+
+def propagate_planes_pre(
+    pre: jnp.ndarray,
+    omega: jnp.ndarray,
+    t: jnp.ndarray,
+    domain_size: float,
+    compat: CompatFlags = CompatFlags(),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Propagate from :func:`precompute_propagate` planes (the hot path)."""
+    n = pre.shape[-1]
+    phase = omega * t
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    hr = c * pre[0] + s * pre[1]
+    hi = s * pre[2] + c * pre[3]
+    kxn, kyn = wavenumber_grid(n, domain_size, compat.wrap_k)
+    specs_r = jnp.stack([hr, kxn * hi, kyn * hi], axis=0)
+    specs_i = jnp.stack([hi, -kxn * hr, -kyn * hr], axis=0)
+    return specs_r, specs_i
+
+
 def propagate_planes(
     h0_pair: jnp.ndarray,
     omega: jnp.ndarray,
@@ -106,21 +144,5 @@ def propagate_planes(
         (specs_r, specs_i): each float32 (3, ..., N, N), order (h, dx, dz) —
         matching the stacking the 2-D transform consumes.
     """
-    n = h0_pair.shape[-1]
-    h0r = h0_pair[..., 0, :, :]
-    h0i = h0_pair[..., 1, :, :]
-    h0nr = h0r[..., ::-1, ::-1]
-    h0ni = h0i[..., ::-1, ::-1]
-    if compat.conj_neg:
-        h0ni = -h0ni
-
-    phase = omega * t
-    c = jnp.cos(phase)
-    s = jnp.sin(phase)
-    hr = c * (h0r + h0nr) + s * (h0ni - h0i)
-    hi = s * (h0r - h0nr) + c * (h0i + h0ni)
-
-    kxn, kyn = wavenumber_grid(n, domain_size, compat.wrap_k)
-    specs_r = jnp.stack([hr, kxn * hi, kyn * hi], axis=0)
-    specs_i = jnp.stack([hi, -kxn * hr, -kyn * hr], axis=0)
-    return specs_r, specs_i
+    pre = precompute_propagate(h0_pair, compat)
+    return propagate_planes_pre(pre, omega, t, domain_size, compat)

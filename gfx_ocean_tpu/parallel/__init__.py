@@ -1,9 +1,10 @@
-from .sharding import make_mesh, make_sharded_step, shard_state
+from .sharding import make_mesh, make_sharded_rollout, make_sharded_step, shard_state
 from .distributed_fft import ifft2_real_unnorm_sharded
 
 __all__ = [
     "ifft2_real_unnorm_sharded",
     "make_mesh",
+    "make_sharded_rollout",
     "make_sharded_step",
     "shard_state",
 ]

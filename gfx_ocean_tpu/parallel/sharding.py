@@ -98,3 +98,41 @@ def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True):
         return OceanFields(displacement=disp, normals=normals, foam=foam)
 
     return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings())
+
+
+def make_sharded_rollout(config: OceanConfig, mesh: Mesh, batched: bool = True,
+                         time_batch: int = 1):
+    """Device-resident scan rollout with mesh-sharded state.
+
+    The multi-chip counterpart of ``models.make_rollout`` (checksum mode):
+    state stays sharded across the mesh for the whole rollout; each step's
+    FFT reshards once over the "row" axis via XLA-inserted collectives.
+    Returns per-frame scalar checksums (replicated).
+    """
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    specs = state_specs(batched)
+    state_sharding = OceanState(h0=NamedSharding(mesh, specs.h0),
+                                omega=NamedSharding(mesh, specs.omega))
+
+    def one(state, t):
+        fields = step(state, t, config)
+        out = jnp.sum(fields.displacement, dtype=jnp.float32)
+        if fields.normals is not None:
+            out = out + jnp.sum(fields.normals, dtype=jnp.float32)
+        if fields.foam is not None:
+            out = out + jnp.sum(fields.foam, dtype=jnp.float32)
+        return out
+
+    def body(state, t):
+        if time_batch == 1:
+            return state, one(state, t)
+        return state, jax.vmap(lambda tt: one(state, tt))(t)
+
+    def rollout(state: OceanState, ts):
+        if time_batch > 1:
+            ts = ts.reshape(ts.shape[0] // time_batch, time_batch)
+        _, out = jax.lax.scan(body, state, ts)
+        return out.reshape(-1)
+
+    return jax.jit(rollout, in_shardings=(state_sharding, None))

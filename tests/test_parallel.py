@@ -10,6 +10,7 @@ from gfx_ocean_tpu.golden.reference import golden_fields
 from gfx_ocean_tpu.parallel import (
     ifft2_real_unnorm_sharded,
     make_mesh,
+    make_sharded_rollout,
     make_sharded_step,
     shard_state,
 )
@@ -92,3 +93,26 @@ def test_distributed_fft_batched(rng, mesh8):
     )(xr, xi))
     want = np.real(np.fft.ifft2(x) * n * n)
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_sharded_rollout_matches_single_device(rng, mesh8):
+    from gfx_ocean_tpu import make_rollout
+
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    state = _rand_state(rng, 64, batch=2)
+    ts = jnp.arange(4, dtype=jnp.float32) * 0.25
+    want = np.asarray(make_rollout(cfg, keep_fields=False)(state, ts))
+    got = np.asarray(make_sharded_rollout(cfg, mesh8)(shard_state(state, mesh8), ts))
+    # checksums are near-cancelling sums over 64^2*3 values: allow
+    # reduction-order noise across shardings
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-3)
+
+
+def test_sharded_rollout_time_batched(rng, mesh8):
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    state = _rand_state(rng, 64, batch=2)
+    ts = jnp.arange(4, dtype=jnp.float32) * 0.25
+    a = np.asarray(make_sharded_rollout(cfg, mesh8, time_batch=2)(
+        shard_state(state, mesh8), ts))
+    b = np.asarray(make_sharded_rollout(cfg, mesh8)(shard_state(state, mesh8), ts))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)

@@ -29,6 +29,7 @@ from gfx_ocean_tpu.ops.derived import finite_difference_normals, jacobian_foam
 from gfx_ocean_tpu.ops.fft import ifft2_real_unnorm
 from gfx_ocean_tpu.ops.propagate import (
     precompute_propagate,
+    propagate_from_cs,
     propagate_planes_pre,
 )
 from gfx_ocean_tpu.utils.complexpair import to_pair
@@ -59,6 +60,22 @@ class OceanFields(NamedTuple):
         return self.displacement[..., 1]
 
 
+def _fields_from_specs(specs_r: jax.Array, specs_i: jax.Array,
+                       config: OceanConfig) -> jax.Array:
+    """Evolved spectra planes -> (..., N, N, 3) displacement map.
+
+    The centering sign (correction pass) is folded into the DFT tables —
+    correction reduces to channel packing, in the (disp_x, height, disp_z)
+    order of ``shader/correction.comp:31-34``.
+    """
+    fields = ifft2_real_unnorm(
+        specs_r, specs_i,
+        impl=config.fft_impl, direct_max=config.direct_dft_max,
+        precision=config.matmul_precision,
+        centered="ref" if config.compat.ref_sign else "canonical")
+    return jnp.stack([fields[1], fields[0], fields[2]], axis=-1)
+
+
 def step(state: OceanState, t: jax.Array, config: OceanConfig,
          pre: Optional[jax.Array] = None) -> OceanFields:
     """One simulation frame: propagate -> 2D iFFT x3 -> correction (+ extras).
@@ -84,15 +101,7 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig,
             pre = precompute_propagate(state.h0, config.compat)
         specs_r, specs_i = propagate_planes_pre(
             pre, state.omega, t, config.domain_size, config.compat)
-        # The centering sign (correction pass) is folded into the DFT
-        # tables — correction reduces to channel packing.
-        fields = ifft2_real_unnorm(
-            specs_r, specs_i,
-            impl=config.fft_impl, direct_max=config.direct_dft_max,
-            precision=config.matmul_precision,
-            centered="ref" if config.compat.ref_sign else "canonical")
-        # (disp_x, height, disp_z) channel order of shader/correction.comp:31-34.
-        disp = jnp.stack([fields[1], fields[0], fields[2]], axis=-1)
+        disp = _fields_from_specs(specs_r, specs_i, config)
 
     normals = None
     if config.compute_normals:
@@ -170,6 +179,82 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
             out = jax.tree.map(
                 lambda x: x.reshape((-1,) + x.shape[2:]) if x is not None else None,
                 out, is_leaf=lambda x: x is None)
+        return out
+
+    return jax.jit(rollout)
+
+
+def make_uniform_rollout(config: OceanConfig, steps: int, dt: float,
+                         keep_fields: bool = False,
+                         phase_recurrence: bool = True,
+                         resync_every: int = 32):
+    """Rollout over uniformly spaced frames t0 + i*dt with phase recurrence.
+
+    With uniform dt, ``e^{iw(t+dt)} = e^{iwt} * e^{iw dt}``: the (cos, sin)
+    phase planes update by one complex multiply per frame instead of two
+    full-grid transcendentals — the dominant propagate cost at large N. To
+    bound drift, phases are recomputed exactly every ``resync_every`` frames
+    (float32 unit-rotation drift is ~2^-24/frame; at the default resync the
+    field error stays ~1e-6 relative, validated in tests). Exact-vs-
+    recurrence differences vanish entirely at ``resync_every=1``.
+
+    Measured caveat (v5e): at N = 4096 the step is HBM-bandwidth-bound and
+    the carried (c, s) planes ADD traffic — recurrence is a net loss there
+    (50 vs 55 steps/s); it pays only when transcendentals dominate. The
+    exact mode (``phase_recurrence=False``) is the plain uniform-grid
+    rollout API.
+
+    Returns ``rollout(state, t0) -> checksums (steps,)`` (or fields with
+    ``keep_fields=True``). Not used by the pallas path (its propagate is
+    in-kernel).
+    """
+    if config.fft_impl == "pallas":
+        raise ValueError("uniform rollout applies to the matmul/xla paths, "
+                         "not pallas (its propagate is in-kernel)")
+
+    def one_out(disp):
+        normals = (finite_difference_normals(disp[..., 1], config.normal_height_scale)
+                   if config.compute_normals else None)
+        foam = jacobian_foam(disp, config) if config.compute_foam else None
+        fields = OceanFields(displacement=disp, normals=normals, foam=foam)
+        if keep_fields:
+            return fields
+        out = jnp.sum(disp, dtype=jnp.float32)
+        if normals is not None:
+            out = out + jnp.sum(normals, dtype=jnp.float32)
+        if foam is not None:
+            out = out + jnp.sum(foam, dtype=jnp.float32)
+        return out
+
+    def rollout(state: OceanState, t0):
+        t0 = jnp.float32(t0)
+        pre = precompute_propagate(state.h0, config.compat)
+        phase_d = state.omega * jnp.float32(dt)
+        cd = jnp.cos(phase_d)
+        sd = jnp.sin(phase_d)
+
+        def exact_cs(i):
+            ph = state.omega * (t0 + i.astype(jnp.float32) * jnp.float32(dt))
+            return jnp.cos(ph), jnp.sin(ph)
+
+        def body(carry, i):
+            c_prev, s_prev = carry
+            if phase_recurrence:
+                def recur(cs):
+                    c, s = cs
+                    return c * cd - s * sd, s * cd + c * sd
+
+                c, s = jax.lax.cond(i % resync_every == 0,
+                                    lambda _: exact_cs(i), recur,
+                                    (c_prev, s_prev))
+            else:
+                c, s = exact_cs(i)
+            specs_r, specs_i = propagate_from_cs(
+                pre, c, s, config.domain_size, config.compat)
+            return (c, s), one_out(_fields_from_specs(specs_r, specs_i, config))
+
+        init = (jnp.ones_like(state.omega), jnp.zeros_like(state.omega))
+        _, out = jax.lax.scan(body, init, jnp.arange(steps, dtype=jnp.int32))
         return out
 
     return jax.jit(rollout)

@@ -125,3 +125,39 @@ def test_loads_reference_assets_end_to_end():
     cfg = OceanConfig(resolution=512, compute_normals=False)
     out = make_step(cfg)(st, jnp.float32(0.5))
     assert np.all(np.isfinite(np.asarray(out.displacement)))
+
+
+def test_uniform_rollout_phase_recurrence_accuracy(reference_state):
+    """Phase recurrence must match exact phases to ~1e-5 over many frames."""
+    from gfx_ocean_tpu.models.ocean import make_uniform_rollout
+
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    st = _state(reference_state, 64)
+    steps, dt = 100, 1 / 60
+    rec = make_uniform_rollout(cfg, steps, dt, keep_fields=True,
+                               phase_recurrence=True, resync_every=32)(st, 0.5)
+    exact = make_uniform_rollout(cfg, steps, dt, keep_fields=True,
+                                 phase_recurrence=False)(st, 0.5)
+    a = np.asarray(rec.displacement)
+    b = np.asarray(exact.displacement)
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-5
+
+
+def test_uniform_rollout_matches_make_rollout(reference_state):
+    from gfx_ocean_tpu.models.ocean import make_uniform_rollout
+
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    st = _state(reference_state, 64)
+    steps, dt = 8, 0.25
+    a = np.asarray(make_uniform_rollout(cfg, steps, dt,
+                                        phase_recurrence=False)(st, 1.0))
+    ts = 1.0 + jnp.arange(steps, dtype=jnp.float32) * jnp.float32(dt)
+    b = np.asarray(make_rollout(cfg, keep_fields=False)(st, ts))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_uniform_rollout_rejects_pallas(reference_state):
+    from gfx_ocean_tpu.models.ocean import make_uniform_rollout
+
+    with pytest.raises(ValueError, match="pallas"):
+        make_uniform_rollout(OceanConfig(fft_impl="pallas"), 4, 0.1)

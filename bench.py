@@ -41,7 +41,7 @@ def main() -> None:
     from gfx_ocean_tpu.golden.reference import golden_fields
     from gfx_ocean_tpu.utils.complexpair import from_pair_np
 
-    cfg = ot.OceanConfig()  # 512^2, matmul DFT, bf16x3 precision, normals on
+    cfg = ot.OceanConfig()  # 512^2, matmul DFT, explicit-split bf16x3, normals on
     state = ot.ocean_state_from_assets(resolution=cfg.resolution)
 
     # --- accuracy gate ---------------------------------------------------

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Run every BASELINE.json config and print a JSON report.
+
+bench.py stays the single-line headline benchmark (config 2); this script
+is the full matrix used to fill the README/BENCH tables:
+
+  1. 256^2 height-only step (golden accuracy check)        [config 1]
+  2. 512^2 full step, 600-frame scan rollout               [config 2]
+  3. 1024^2 with runtime Phillips synthesis                [config 3]
+  4. 3-cascade 3x512^2 with foam (vmap)                    [config 4]
+  5. 4096^2 path + one rendered frame along a camera step  [config 5]
+
+Usage: python benchmarks/run_all.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Runnable from a checkout without installation.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _throughput(rollout, state, ts, repeats=3):
+    np.asarray(rollout(state, ts))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(rollout(state, ts))
+        best = min(best, time.perf_counter() - t0)
+    return len(ts) / best
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="shorter rollouts (CI smoke)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import gfx_ocean_tpu as ot
+    from gfx_ocean_tpu.config import PhillipsConfig
+    from gfx_ocean_tpu.golden.reference import golden_fields
+    from gfx_ocean_tpu.models.ocean import (
+        downsample_state, ocean_state_from_assets, ocean_state_from_phillips)
+    from gfx_ocean_tpu.utils.complexpair import from_pair_np
+
+    report = {"device": str(jax.devices()[0]), "configs": {}}
+    steps = 100 if args.quick else 600
+    dt = jnp.float32(1.0 / 60.0)
+
+    # config 1: 256^2 height-only, accuracy vs golden
+    st512 = ocean_state_from_assets()
+    st256 = downsample_state(st512, 256)
+    cfg1 = ot.OceanConfig(resolution=256, compute_normals=False)
+    disp = np.asarray(ot.make_step(cfg1)(st256, jnp.float32(11.25)).displacement)
+    want = golden_fields(from_pair_np(np.asarray(st256.h0)), np.asarray(st256.omega),
+                         11.25, cfg1.domain_size, cfg1.compat)
+    report["configs"]["1_256_height_only"] = {
+        "rel_linf_vs_golden": float(np.abs(disp - want).max() / np.abs(want).max()),
+        "abs_linf_vs_golden": float(np.abs(disp - want).max()),
+    }
+
+    # config 2: 512^2 full step rollout (the headline)
+    cfg2 = ot.OceanConfig()
+    ts = jnp.arange(steps, dtype=jnp.float32) * dt
+    sps = _throughput(ot.make_rollout(cfg2, keep_fields=False, time_batch=4),
+                      st512, ts)
+    report["configs"]["2_512_full_step"] = {"steps_per_sec": round(sps, 1)}
+
+    # config 3: 1024^2 Phillips synthesis
+    cfg3 = ot.OceanConfig(resolution=1024, domain_size=1000.0)
+    st1024 = ocean_state_from_phillips(cfg3, PhillipsConfig())
+    ts3 = jnp.arange(min(steps, 200), dtype=jnp.float32) * dt
+    sps = _throughput(ot.make_rollout(cfg3, keep_fields=False, time_batch=2),
+                      st1024, ts3)
+    report["configs"]["3_1024_phillips"] = {"steps_per_sec": round(sps, 1)}
+
+    # config 4: 3-cascade 512^2 with foam
+    cfg4 = ot.OceanConfig(resolution=512, num_cascades=3, compute_foam=True)
+    st_casc = ocean_state_from_phillips(cfg4, PhillipsConfig())
+    ts4 = jnp.arange(min(steps, 200), dtype=jnp.float32) * dt
+    sps = _throughput(ot.make_rollout(cfg4, keep_fields=False), st_casc, ts4)
+    report["configs"]["4_3cascade_512_foam"] = {"steps_per_sec": round(sps, 1)}
+
+    # config 5: 4096^2 + a rendered frame
+    cfg5 = ot.OceanConfig(resolution=4096, domain_size=2000.0)
+    st4096 = ocean_state_from_phillips(cfg5, PhillipsConfig())
+    ts5 = jnp.arange(30 if args.quick else 60, dtype=jnp.float32) * dt
+    sps = _throughput(ot.make_rollout(cfg5, keep_fields=False), st4096, ts5,
+                      repeats=2)
+    entry = {"steps_per_sec": round(sps, 1)}
+    try:
+        from gfx_ocean_tpu.render import Camera, render_frame
+
+        fields = ot.make_step(ot.OceanConfig(resolution=4096, domain_size=2000.0,
+                                             compute_normals=False))(
+            st4096, jnp.float32(3.0))
+        t0 = time.perf_counter()
+        img = np.asarray(render_frame(fields.displacement, Camera(),
+                                      width=300, height=175, samples=24))
+        entry["render_frame_sec"] = round(time.perf_counter() - t0, 2)
+        entry["render_finite"] = bool(np.all(np.isfinite(img)))
+    except Exception as e:  # render is best-effort in this report
+        entry["render_error"] = str(e)[:200]
+    report["configs"]["5_4096_interactive"] = entry
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

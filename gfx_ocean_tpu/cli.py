@@ -30,7 +30,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--domain-size", type=float, default=1000.0)
     p.add_argument("--fft-impl", choices=("matmul", "xla", "pallas"), default="matmul")
-    p.add_argument("--precision", choices=("highest", "high", "default"), default="high")
+    p.add_argument("--precision", choices=("bf16x3", "bf16x4", "highest", "high", "default"), default="bf16x3")
     p.add_argument("--cascades", type=int, default=1)
     p.add_argument("--normals", action="store_true", default=True)
     p.add_argument("--no-normals", dest="normals", action="store_false")

@@ -75,11 +75,16 @@ class OceanConfig:
 
     # --- numerics ---
     # The 1e-4 L-inf target (BASELINE.json) leaves no room for plain bf16 in
-    # the transform; on the MXU f32 matmuls run as multi-pass bf16:
-    #   "highest" = bf16x6 (f32-equivalent, ~4e-7 rel err at 512^2)
-    #   "high"    = bf16x3 (~2x throughput, still orders inside the budget)
-    #   "default" = bf16   (fastest; ~1e-2 — out of budget, viz-only)
-    matmul_precision: str = "high"
+    # the transform; on the MXU f32 matmuls run as multi-pass bf16. Measured
+    # at 512^2 vs the float64 golden (absolute / relative L-inf, steps/s):
+    #   "bf16x3"  explicit-split 3-pass:   9e-5 / 8e-6,   ~6,400  (default —
+    #             meets the 1e-4 target even read as ABSOLUTE error)
+    #   "bf16x4"  explicit-split 4-pass:   7e-5 / 6e-6,   ~4,700
+    #   "high"    XLA bf16x3:              3e-4 / 2.8e-5, ~7,600  (fastest
+    #             compliant under the relative reading)
+    #   "highest" XLA bf16x6:              4e-6 / 3e-7,   ~3,600
+    #   "default" bf16 single pass:        3e-2 / 2.6e-3  (viz-only)
+    matmul_precision: str = "bf16x3"
     dtype: str = "float32"
 
     # --- quirk compatibility (SURVEY.md §2.4) ---

@@ -51,14 +51,93 @@ _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,  # bf16x6 on MXU — f32-equivalent
     "high": jax.lax.Precision.HIGH,        # bf16x3 — ~2x MXU throughput
     "default": jax.lax.Precision.DEFAULT,  # bf16 — fastest, ~1e-2 error
+    # Explicit-split multi-pass bf16 (see _split_bf16/_mm): measured ~3.5x
+    # more accurate than XLA's HIGH at the same MXU pass count, because the
+    # hi+lo operand split is exact to 24 bits and only the lo*lo (x3) /
+    # nothing (x4's 4th term keeps it) products are dropped.
+    "bf16x3": "bf16x3",
+    "bf16x4": "bf16x4",
 }
 
 
-def resolve_precision(name: str) -> jax.lax.Precision:
+def resolve_precision(name: str):
     try:
         return _PRECISIONS[name]
     except KeyError:
         raise ValueError(f"unknown matmul precision {name!r}; options: {sorted(_PRECISIONS)}")
+
+
+def _round_to_bf16_in_f32(a: jnp.ndarray) -> jnp.ndarray:
+    """Round-to-nearest-even to bf16 precision, staying in float32, via
+    integer bit manipulation.
+
+    Why not ``a.astype(bf16)``: XLA on TPU elides f32->bf16 converts that
+    feed a dot (the dot rounds internally anyway — "excess precision"
+    folding), so a convert-based hi/lo split collapses: every cross-term
+    dot receives the ORIGINAL f32 value and the multi-pass scheme silently
+    degrades to single-pass bf16 (verified: 2.6e-3 error, and the lo plane
+    literally constant-folds to zero). Bit ops are opaque to the
+    simplifier.
+    """
+    u = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    lsb = (u >> 16) & jnp.uint32(1)
+    u = (u + jnp.uint32(0x7FFF) + lsb) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _split_bf16(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact two-term bf16 decomposition a ~= hi + lo, both carried as f32.
+
+    ``hi`` is exactly bf16-representable, so the dot's internal bf16
+    rounding is lossless on it; ``lo`` is the exact f32 residual, rounded
+    to bf16 inside the dot (which is precisely the scheme's granularity).
+    """
+    hi = _round_to_bf16_in_f32(a)
+    return hi, a - hi
+
+
+def _sum_split_dots(d, a_hi, a_lo, b_hi, b_lo, four: bool) -> jnp.ndarray:
+    """hi/lo cross-term sum with each product pinned behind a barrier.
+
+    Without the barriers XLA's algebraic simplifier refactors
+    ``d(a,b_hi) + d(a,b_lo) -> d(a, b_hi + b_lo)`` whose bf16 addition
+    rounds lo away (measured: the whole scheme silently collapses to
+    single-pass bf16, 2.6e-3 error).
+    """
+    terms = [d(a_hi, b_hi), d(a_hi, b_lo), d(a_lo, b_hi)]
+    if four:
+        terms.append(d(a_lo, b_lo))
+    terms = [jax.lax.optimization_barrier(t) for t in terms]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray, prec) -> jnp.ndarray:
+    """Central matmul with the extended precision tiers."""
+    if prec in ("bf16x3", "bf16x4"):
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+
+        def d(x, y):
+            return jnp.matmul(x, y, precision=jax.lax.Precision.DEFAULT)
+
+        return _sum_split_dots(d, a_hi, a_lo, b_hi, b_lo, prec == "bf16x4")
+    return jnp.matmul(a, b, precision=prec)
+
+
+def _einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray, prec) -> jnp.ndarray:
+    """Einsum twin of :func:`_mm` (four-step stages)."""
+    if prec in ("bf16x3", "bf16x4"):
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+
+        def d(x, y):
+            return jnp.einsum(spec, x, y, precision=jax.lax.Precision.DEFAULT)
+
+        return _sum_split_dots(d, a_hi, a_lo, b_hi, b_lo, prec == "bf16x4")
+    return jnp.einsum(spec, a, b, precision=prec)
 
 
 # --------------------------------------------------------------------------
@@ -152,10 +231,10 @@ def _direct_last(xr, xi, prec, real_out: bool, out_alt: bool = False,
         wr, wi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(n, 1, 1, negate))
     else:
         wr, wi = dft_matrices(n, sign=1)
-    yr = jnp.matmul(xr, wr, precision=prec) - jnp.matmul(xi, wi, precision=prec)
+    yr = _mm(xr, wr, prec) - _mm(xi, wi, prec)
     if real_out:
         return yr, None
-    yi = jnp.matmul(xr, wi, precision=prec) + jnp.matmul(xi, wr, precision=prec)
+    yi = _mm(xr, wi, prec) + _mm(xi, wr, prec)
     return yr, yi
 
 
@@ -186,7 +265,7 @@ def _foursteps_last(xr, xi, prec, real_out: bool, out_alt: bool = False,
     tr, ti = (jnp.asarray(a) for a in _twiddle_np(n1, n2, 1))
 
     def lmm(w, x):  # A = W @ X over the n1 axis
-        return jnp.einsum("nk,...kj->...nj", w, x, precision=prec)
+        return _einsum("nk,...kj->...nj", w, x, prec)
 
     ar = lmm(w1r, xr) - lmm(w1i, xi)
     ai = lmm(w1r, xi) + lmm(w1i, xr)
@@ -194,7 +273,7 @@ def _foursteps_last(xr, xi, prec, real_out: bool, out_alt: bool = False,
     bi = ar * ti + ai * tr
 
     def rmm(x, w):  # Y = B @ W^T over the n2 axis
-        return jnp.einsum("...nk,mk->...nm", x, w, precision=prec)
+        return _einsum("...nk,mk->...nm", x, w, prec)
 
     yr = rmm(br, w2r) - rmm(bi, w2i)
     # y_flat[n1 + N1*n2] = Y[n1, n2] -> swap to (n2, n1) then flatten.
@@ -322,7 +401,7 @@ def ifft2_real_unnorm(
             wr, wi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(m, 1, 0, negate))
         else:
             wr, wi = dft_matrices(m, sign=1)
-        return jnp.matmul(wr, ar, precision=prec) - jnp.matmul(wi, ai, precision=prec)
+        return _mm(wr, ar, prec) - _mm(wi, ai, prec)
     # Measured on v5e the swap formulation beats both the transpose-free
     # einsum form and XLA's FFT HLO at N = 4096.
     ar = jnp.swapaxes(ar, -1, -2)

@@ -65,7 +65,10 @@ def _dot3(a, b, dims):
 
 
 def _make_dot(precision: str):
-    if precision == "high":
+    if precision in ("high", "bf16x3", "bf16x4"):
+        # Mosaic has no HIGH lowering; dot3 is the in-kernel bf16x3
+        # equivalent (bf16x4's extra lo*lo term is below the scheme's
+        # noise floor in-kernel).
         return _dot3
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)

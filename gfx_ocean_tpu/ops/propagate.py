@@ -101,6 +101,42 @@ def precompute_propagate(h0_pair: jnp.ndarray, compat: CompatFlags = CompatFlags
     return jnp.stack([h0r + h0nr, h0ni - h0i, h0r - h0nr, h0i + h0ni], axis=0)
 
 
+# Cody-Waite constants: 2*pi = C1 + C2 + C3 with C1/C2 carrying <=12
+# mantissa bits each, so k * C1 and k * C2 are EXACT f32 products for
+# k < 2^12 (plain hi/lo two-term reduction still loses 2^-24 * |omega t|,
+# which is the very error being removed).
+_C1 = np.float32(6.28125)   # 12-bit head of 2*pi
+_C2 = np.float32(0.0019350051879882812)   # 12-bit head of the remainder
+_C3 = np.float32(3.019916050561733e-07)   # final residual
+
+
+def _split_f32_12bit(a):
+    """Dekker split: a = hi + lo with hi carrying the top 12 mantissa bits
+    (so hi*hi products of two such halves are exact in f32)."""
+    c = a * jnp.float32(4097.0)  # 2^12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _phase_mod_2pi(omega: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """omega * t reduced mod 2*pi with ~f64-grade accuracy in f32 ops.
+
+    A plain f32 product loses ~|omega*t| * 2^-24 of phase — at t ~ 1000 s
+    that is ~3e-4 rad, which dominates the field error budget (the GLSL
+    reference has the same flaw; the golden model is f64). Dekker
+    two-product recovers the product's residual, and a two-term 2*pi
+    reduction keeps the result accurate for any practical t.
+    """
+    t = jnp.float32(t)
+    p = omega * t
+    # exact product residual via Dekker splitting (no f32 FMA in XLA ops)
+    o_hi, o_lo = _split_f32_12bit(omega)
+    t_hi, t_lo = _split_f32_12bit(jnp.broadcast_to(t, ()))
+    err = (((o_hi * t_hi - p) + o_hi * t_lo) + o_lo * t_hi) + o_lo * t_lo
+    k = jnp.round(p * jnp.float32(1.0 / (2.0 * np.pi)))
+    return (((p - k * _C1) - k * _C2) - k * _C3) + err
+
+
 def propagate_planes_pre(
     pre: jnp.ndarray,
     omega: jnp.ndarray,
@@ -109,7 +145,7 @@ def propagate_planes_pre(
     compat: CompatFlags = CompatFlags(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Propagate from :func:`precompute_propagate` planes (the hot path)."""
-    phase = omega * t
+    phase = _phase_mod_2pi(omega, t)
     return propagate_from_cs(pre, jnp.cos(phase), jnp.sin(phase),
                              domain_size, compat)
 

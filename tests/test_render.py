@@ -171,3 +171,28 @@ def test_render_water_is_water_colored(small_frame):
     covered = np.abs(img - sh.CLEAR_COLOR).max(-1) > 1e-6
     mean = img[covered].mean(0)
     assert mean[2] > mean[0], "water should be blue-dominant over red"
+
+
+def test_golden_frame_regression():
+    """Rendered frame vs a stored golden (guards silent pipeline changes).
+
+    Tolerances are loose (f32 rasterization across XLA versions); the
+    structural checks (coverage mask, mean color) are the real guard.
+    """
+    import os
+
+    golden_path = os.path.join(os.path.dirname(__file__), "data",
+                               "golden_frame_128.npy")
+    want = np.load(golden_path)
+    state = downsample_state(ot.ocean_state_from_assets(), 128)
+    cfg = ot.OceanConfig(resolution=128, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(11.25)).displacement
+    got = np.asarray(render_frame(disp, Camera(), width=96, height=64,
+                                  mesh_resolution=64, num_patches=4, samples=24))
+    covered_w = np.abs(want - sh.CLEAR_COLOR).max(-1) > 1e-6
+    covered_g = np.abs(got - sh.CLEAR_COLOR).max(-1) > 1e-6
+    # coverage masks agree except a sliver of silhouette pixels
+    assert (covered_w != covered_g).mean() < 0.02
+    both = covered_w & covered_g
+    assert np.abs(got[both] - want[both]).max() < 1e-2
+    assert np.abs(got[both].mean(0) - want[both].mean(0)).max() < 1e-3

@@ -28,12 +28,16 @@ appears (axon PJRT cannot transfer complex across the host boundary, Pallas
 cannot take complex refs, and plane layouts tile better on the VPU). The
 complex-typed public wrappers exist for tests and external callers.
 
-Precision: on the MXU an f32 matmul runs as multi-pass bf16 —
-"highest" = bf16x6 (f32-equivalent), "high" = bf16x3 (~2x throughput,
-~3e-5 relative L-inf at 512^2 — well inside the 1e-4 budget of
-BASELINE.md), "default" = bf16 (viz-only). Twiddle/DFT matrices are built
-in float64 on host (phase computed mod N in integers, so they are exact
-even at N = 4096^2) and rounded once to float32.
+Precision: on the MXU an f32 matmul runs as multi-pass bf16. Tiers (see
+config.OceanConfig.matmul_precision for measured error/throughput):
+XLA-native "highest" (bf16x6) / "high" (bf16x3) / "default" (bf16), plus
+the explicit-split "bf16x3"/"bf16x4" (the default) — hi/lo operand
+decomposition done with integer bit ops and barrier-pinned partial sums,
+which lands ~3.5x more accurate than XLA's HIGH at the same MXU pass count
+(see _round_to_bf16_in_f32/_sum_split_dots for the two XLA simplifier
+traps this has to dodge). Twiddle/DFT matrices are built in float64 on
+host (phase computed mod N in integers, so they are exact even at
+N = 4096^2) and rounded once to float32.
 """
 
 from __future__ import annotations
@@ -128,15 +132,18 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray, prec) -> jnp.ndarray:
 
 
 def _einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray, prec) -> jnp.ndarray:
-    """Einsum twin of :func:`_mm` (four-step stages)."""
-    if prec in ("bf16x3", "bf16x4"):
-        a_hi, a_lo = _split_bf16(a)
-        b_hi, b_lo = _split_bf16(b)
+    """Einsum twin of :func:`_mm` (four-step stages, N > direct_max).
 
-        def d(x, y):
-            return jnp.einsum(spec, x, y, precision=jax.lax.Precision.DEFAULT)
-
-        return _sum_split_dots(d, a_hi, a_lo, b_hi, b_lo, prec == "bf16x4")
+    The explicit-split tiers intentionally map to their XLA-native
+    cousins here: measured at 4096^2 the split's barriers block XLA's
+    stage scheduling and cost 2.4x (21.5 vs 52 steps/s), while the
+    four-step regime's absolute-error budget is dominated by field
+    magnitude anyway (rel 5e-5 at HIGH is the operative bound).
+    """
+    if prec == "bf16x3":
+        prec = jax.lax.Precision.HIGH
+    elif prec == "bf16x4":
+        prec = jax.lax.Precision.HIGHEST
     return jnp.einsum(spec, a, b, precision=prec)
 
 

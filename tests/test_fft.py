@@ -71,3 +71,38 @@ def test_jit_and_grad_safe(rng):
     x = jnp.asarray(_rand_complex(rng, (64, 64)))
     f = jax.jit(lambda a: jnp.sum(jnp.abs(ifft2_unnorm(a)) ** 2))
     assert np.isfinite(float(f(x)))
+
+
+@pytest.mark.parametrize("prec", ["bf16x3", "bf16x4", "high", "highest"])
+def test_precision_tiers_accuracy(rng, prec):
+    """All compliant tiers must stay inside the 1e-4 budget (on CPU the
+    MXU emulation is exact f32, so this mainly guards plumbing; the
+    on-TPU numbers live in config.py's docstring)."""
+    x = _rand_complex(rng, (64, 64))
+    got = np.asarray(ifft2_unnorm(jnp.asarray(x), impl="matmul", precision=prec))
+    want = np.fft.ifft2(x.astype(np.complex128)) * 64 * 64
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_bf16_split_roundtrip(rng):
+    """hi + lo must reconstruct the input exactly; hi must be
+    bf16-representable (guards the bit-twiddling rounding)."""
+    from gfx_ocean_tpu.ops.fft import _round_to_bf16_in_f32, _split_bf16
+
+    a = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
+    hi, lo = jax.jit(_split_bf16)(a)
+    np.testing.assert_array_equal(np.asarray(hi) + np.asarray(lo), np.asarray(a))
+    h = np.asarray(jax.jit(_round_to_bf16_in_f32)(a))
+    # bf16-representable: f32 bit pattern has zero low 16 bits
+    bits = h.view(np.uint32)
+    assert np.all(bits & 0xFFFF == 0)
+    # and it equals numpy's round-to-nearest-even bf16
+    import ml_dtypes
+    expect = np.asarray(a).astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(h, expect)
+
+
+def test_unknown_precision_rejected(rng):
+    x = _rand_complex(rng, (16, 16))
+    with pytest.raises(ValueError, match="unknown matmul precision"):
+        ifft2_unnorm(jnp.asarray(x), impl="matmul", precision="fp8")

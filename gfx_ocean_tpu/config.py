@@ -85,6 +85,13 @@ class OceanConfig:
     #   "highest" XLA bf16x6:              4e-6 / 3e-7,   ~3,600
     #   "default" bf16 single pass:        3e-2 / 2.6e-3  (viz-only)
     matmul_precision: str = "bf16x3"
+    # Optional lower precision for the two choppy-displacement transforms
+    # (disp_x/disp_z). The BASELINE accuracy bound is on the HEIGHT field;
+    # the XZ offsets are a visual effect scaled by 1/3.5 (ocean.vert:23),
+    # where bf16 error (~1e-2 relative) is far below perceptibility. At
+    # 4096^2 setting this to "default" turns 2 of the 3 spectra's
+    # transforms into single-pass MXU work. None = use matmul_precision.
+    choppy_precision: Optional[str] = None
     dtype: str = "float32"
 
     # --- quirk compatibility (SURVEY.md §2.4) ---

@@ -68,11 +68,23 @@ def _fields_from_specs(specs_r: jax.Array, specs_i: jax.Array,
     correction reduces to channel packing, in the (disp_x, height, disp_z)
     order of ``shader/correction.comp:31-34``.
     """
+    centered = "ref" if config.compat.ref_sign else "canonical"
+    if (config.choppy_precision is not None
+            and config.choppy_precision != config.matmul_precision):
+        height = ifft2_real_unnorm(
+            specs_r[0], specs_i[0],
+            impl=config.fft_impl, direct_max=config.direct_dft_max,
+            precision=config.matmul_precision, centered=centered)
+        choppy = ifft2_real_unnorm(
+            specs_r[1:], specs_i[1:],
+            impl=config.fft_impl, direct_max=config.direct_dft_max,
+            precision=config.choppy_precision, centered=centered)
+        return jnp.stack([choppy[0], height, choppy[1]], axis=-1)
     fields = ifft2_real_unnorm(
         specs_r, specs_i,
         impl=config.fft_impl, direct_max=config.direct_dft_max,
         precision=config.matmul_precision,
-        centered="ref" if config.compat.ref_sign else "canonical")
+        centered=centered)
     return jnp.stack([fields[1], fields[0], fields[2]], axis=-1)
 
 

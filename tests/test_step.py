@@ -161,3 +161,15 @@ def test_uniform_rollout_rejects_pallas(reference_state):
 
     with pytest.raises(ValueError, match="pallas"):
         make_uniform_rollout(OceanConfig(fft_impl="pallas"), 4, 0.1)
+
+
+def test_choppy_precision_split(reference_state):
+    """LOD split: height channel must be unaffected by choppy precision."""
+    st = _state(reference_state, 64)
+    full = OceanConfig(resolution=64, compute_normals=False,
+                       matmul_precision="highest")
+    lod = dataclasses.replace(full, choppy_precision="default")
+    a = np.asarray(make_step(full)(st, jnp.float32(2.0)).displacement)
+    b = np.asarray(make_step(lod)(st, jnp.float32(2.0)).displacement)
+    np.testing.assert_allclose(a[..., 1], b[..., 1], atol=1e-6)  # height identical
+    assert b.shape == a.shape

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Tuple
 
 import numpy as np
 

@@ -22,11 +22,10 @@ passes see the same layout they were given.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from gfx_ocean_tpu.ops.fft import dft_matrices, resolve_precision

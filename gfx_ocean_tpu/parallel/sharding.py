@@ -20,7 +20,6 @@ Mesh axes:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax

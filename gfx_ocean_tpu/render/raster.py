@@ -22,7 +22,6 @@ benchmarked inner loop (BASELINE.json: rendering decoupled).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

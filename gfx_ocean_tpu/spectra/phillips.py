@@ -22,7 +22,6 @@ this k-range (SURVEY.md §3.4), which this module reproduces exactly.
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax

@@ -173,3 +173,16 @@ def test_choppy_precision_split(reference_state):
     b = np.asarray(make_step(lod)(st, jnp.float32(2.0)).displacement)
     np.testing.assert_allclose(a[..., 1], b[..., 1], atol=1e-6)  # height identical
     assert b.shape == a.shape
+
+
+def test_long_rollout_stability(reference_state):
+    """Property (SURVEY.md §4): the stateless sim cannot blow up — field
+    magnitudes stay in a fixed band over a long rollout."""
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    st = _state(reference_state, 64)
+    ts = jnp.arange(200, dtype=jnp.float32) * 0.37
+    traj = make_rollout(cfg, keep_fields=True)(st, ts)
+    heights = np.abs(np.asarray(traj.displacement[..., 1])).max(axis=(1, 2))
+    assert np.all(np.isfinite(heights))
+    assert heights.max() < 4 * np.median(heights)
+    assert heights.min() > np.median(heights) / 4

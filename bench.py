@@ -88,4 +88,17 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled TPU backend occasionally drops a request; one retry in a
+    # fresh attempt keeps a single flake from voiding the benchmark record.
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:  # noqa: BLE001
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        print(f"bench attempt 1 failed ({type(e).__name__}); retrying once",
+              file=sys.stderr)
+        main()

@@ -1,6 +1,6 @@
 from .camera import Camera, InputState, look_at, perspective
 from .mesh import build_grid
-from .raster import render_frame
+from .raster import render_frame, render_frames
 from .shade import shade_fragments
 
 __all__ = [
@@ -10,5 +10,6 @@ __all__ = [
     "look_at",
     "perspective",
     "render_frame",
+    "render_frames",
     "shade_fragments",
 ]

@@ -177,3 +177,38 @@ def render_frame(
     if return_depth:
         return img, depth
     return img
+
+
+def render_frames(
+    displacements: jnp.ndarray,
+    cameras,
+    width: int = 300,
+    height: int = 175,
+    mesh_resolution: int = 128,
+    num_patches: int = 4,
+    samples: int = 32,
+) -> jnp.ndarray:
+    """Batched frame generation (BASELINE config 5): vmap the rasterizer
+    over per-frame displacement maps and cameras.
+
+    Args:
+        displacements: (F, N, N, 3) fields (e.g. a ``make_rollout(...,
+            keep_fields=True)`` trajectory).
+        cameras: sequence of F ``Camera``s (host-side; their matrices are
+            stacked and shipped once).
+    Returns:
+        (F, H, W, 3) float32 images.
+    """
+    mesh = build_grid(mesh_resolution, num_patches)
+    positions, uvs, tris = instantiate(mesh)
+    proj = perspective(width / height)
+    view_projs = np.stack([(proj @ c.view()).astype(np.float32) for c in cameras])
+    cam_pos = np.stack([c.position.astype(np.float32) for c in cameras])
+
+    f = jax.vmap(
+        lambda d, vp, cp: _rasterize(
+            d, jnp.asarray(positions), jnp.asarray(uvs),
+            jnp.asarray(tris.astype(np.int32)), vp, cp,
+            width, height, samples)[0])
+    return f(jnp.asarray(displacements), jnp.asarray(view_projs),
+             jnp.asarray(cam_pos))

@@ -196,3 +196,24 @@ def test_golden_frame_regression():
     both = covered_w & covered_g
     assert np.abs(got[both] - want[both]).max() < 1e-2
     assert np.abs(got[both].mean(0) - want[both].mean(0)).max() < 1e-3
+
+
+def test_render_frames_batched():
+    """Batched frame generation equals per-frame rendering."""
+    from gfx_ocean_tpu.render import render_frames
+    from gfx_ocean_tpu.render.camera import scripted_camera
+    import copy
+
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    traj = ot.make_rollout(cfg, keep_fields=True)(
+        state, jnp.arange(2, dtype=jnp.float32))
+    cams = [copy.deepcopy(c) for _, c in scripted_camera([(2, ["w"])], dt=0.1)]
+    batch = np.asarray(render_frames(traj.displacement, cams, width=64,
+                                     height=48, mesh_resolution=64, samples=12))
+    assert batch.shape == (2, 48, 64, 3)
+    for i in range(2):
+        single = np.asarray(render_frame(traj.displacement[i], cams[i],
+                                         width=64, height=48,
+                                         mesh_resolution=64, samples=12))
+        np.testing.assert_allclose(batch[i], single, atol=1e-5)

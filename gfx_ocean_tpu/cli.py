@@ -171,6 +171,24 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from gfx_ocean_tpu.serve import serve
+
+    config, _, state = _build(args)
+    if state.h0.ndim != 3:
+        raise SystemExit("serve uses a single cascade")
+    server = serve(state, config, host=args.host, port=args.port)
+    print(f"serving ocean frames on http://{args.host}:{args.port} "
+          f"(/health /config /frame?t= /frame.png?t= /metrics)", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
 def cmd_render(args) -> int:
     import jax.numpy as jnp
 
@@ -240,6 +258,12 @@ def main(argv=None) -> int:
     p.add_argument("--out-spectrum", type=str, default="spectrum.bin")
     p.add_argument("--out-omega", type=str, default="omega.bin")
     p.set_defaults(fn=cmd_synth, phillips=True)
+
+    p = sub.add_parser("serve", help="HTTP frame server (frames by absolute t)")
+    _add_common(p)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8807)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("render", help="rasterize frames along a scripted camera")
     _add_common(p)

@@ -8,7 +8,8 @@ stdlib server (ThreadingHTTPServer) wraps one jitted ``step``:
     GET /config            -> the OceanConfig as JSON
     GET /frame?t=12.5      -> .npz of (displacement[, normals][, foam])
     GET /frame.png?t=12.5  -> rendered PNG along the default camera
-                              (&w=&h=&samples= override the viewport)
+                              (&w=&h=&samples= override the viewport;
+                              &px=&py=&pz=&rx=&ry=&rz= override the pose)
     GET /metrics           -> frames served, error count, latency EMA
                               (the reference's title-bar EMA, src/lib.rs:146-148)
 
@@ -17,6 +18,17 @@ device queue); the threaded server still overlaps request parsing and
 response IO. The sim being stateless in time, every request is
 independently addressable by absolute ``t`` — a cache-friendly,
 horizontally scalable design: replicas need only (h0, omega).
+
+An interactive session — the analog of the reference's winit window +
+event loop (src/lib.rs:42-157) — layers a server-side ``Camera`` over the
+stateless engine; the browser is the window and only forwards raw events:
+
+    GET /                     -> HTML viewer (keyboard + touch -> /session/*)
+    GET /session/input?press=w | release=left | touch=started&x=&width=
+                              -> reference key/touch semantics (camera.py)
+    GET /session/frame.png    -> advance camera+clock by dt (wall-clock, or
+                              &dt= for determinism), render current pose
+    GET /session/state        -> pose, sim time, frame-time EMA (title bar)
 """
 
 from __future__ import annotations
@@ -47,6 +59,7 @@ class FrameService:
         self.config_json = json.dumps(dataclasses.asdict(config))
         self._step = make_step(config)
         self._lock = threading.Lock()
+        self.session = CameraSession()  # defined below; resolved at call time
         self.frames_served = 0
         self.errors = 0
         self.latency_ema = Ema()
@@ -71,7 +84,8 @@ class FrameService:
         np.savez(buf, **self.fields(t))
         return buf.getvalue()
 
-    def frame_png(self, t: float, width: int, height: int, samples: int) -> bytes:
+    def frame_png(self, t: float, width: int, height: int, samples: int,
+                  camera=None) -> bytes:
         from PIL import Image  # noqa: PLC0415
 
         from gfx_ocean_tpu.render import render_frame  # noqa: PLC0415
@@ -79,7 +93,8 @@ class FrameService:
 
         disp = self.fields(t)["displacement"]
         img = np.asarray(render_frame(
-            disp, Camera(), width=width, height=height,
+            disp, camera if camera is not None else Camera(),
+            width=width, height=height,
             mesh_resolution=self.config.mesh_resolution,
             num_patches=self.config.num_patches, samples=samples))
         srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
@@ -97,6 +112,128 @@ class FrameService:
             "device": str(jax.devices()[0]),
             "resolution": self.config.resolution,
         }
+
+
+class CameraSession:
+    """Server-side analog of the reference's app loop (src/lib.rs:42-157).
+
+    Holds a ``Camera`` + ``InputState`` + a sim clock. Each rendered frame
+    advances both by dt — wall-clock by default, exactly like the
+    reference's ``Instant``-based elapsed time (src/lib.rs:139-142) — and
+    feeds the frame-time EMA the reference shows in its title bar
+    (src/lib.rs:146-148). Input events use the reference's key/touch
+    semantics verbatim (render/camera.py).
+    """
+
+    def __init__(self):
+        from gfx_ocean_tpu.render.camera import Camera  # noqa: PLC0415
+
+        self.camera = Camera()
+        self.sim_time = 0.0
+        self.frame_ema = Ema()
+        self._last = None  # wall-clock of the previous frame
+        self._lock = threading.Lock()
+
+    def input(self, action: str, value: str, x: float = 0.0,
+              width: float = 1.0) -> None:
+        with self._lock:
+            if action == "press":
+                self.camera.input.press(value)
+            elif action == "release":
+                self.camera.input.release(value)
+            elif action == "touch":
+                self.camera.input.touch(value, x, width)
+            else:
+                raise ValueError(f"unknown input action {action!r}")
+
+    def advance(self, dt: Optional[float] = None):
+        """Tick the loop: returns (sim time, camera snapshot) to render."""
+        import dataclasses  # noqa: PLC0415
+
+        with self._lock:
+            now = time.perf_counter()
+            if dt is None:
+                dt = 0.0 if self._last is None else min(now - self._last, 0.25)
+            self._last = now
+            self.camera.update(dt)
+            self.sim_time += dt
+            self.frame_ema.update(dt)
+            # Snapshot so the render (outside the lock) can't see a
+            # concurrent input/advance mutate the pose mid-frame.
+            snap = dataclasses.replace(self.camera,
+                                       position=self.camera.position.copy(),
+                                       rotation=self.camera.rotation.copy())
+            return self.sim_time, snap
+
+    def state(self) -> dict:
+        with self._lock:
+            return {
+                "position": [round(float(v), 4) for v in self.camera.position],
+                "rotation": [round(float(v), 4) for v in self.camera.rotation],
+                "sim_time": round(self.sim_time, 4),
+                "frame_ema_sec": round(self.frame_ema.value, 6),
+                "input": {"forward": self.camera.input.forward,
+                          "rot_x": self.camera.input.rot_x,
+                          "rot_y": self.camera.input.rot_y},
+            }
+
+
+# The browser stands in for the winit window: it forwards raw key/touch
+# events and displays frames; every piece of camera/timing logic stays
+# server-side in the tested Python port of src/camera.rs.
+_VIEWER_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>gfx_ocean_tpu</title>
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<style>
+ body { margin:0; background:#111; color:#ccc; font:13px monospace;
+        display:flex; flex-direction:column; align-items:center }
+ img { width:100%; max-width:960px; image-rendering:auto; margin-top:8px }
+ #hud { padding:6px }
+</style></head><body>
+<img id="v" alt="ocean">
+<div id="hud">connecting…</div>
+<script>
+const v = document.getElementById('v'), hud = document.getElementById('hud');
+const KEYS = {KeyW:'w', KeyS:'s', ArrowLeft:'left', ArrowRight:'right',
+              ArrowUp:'up', ArrowDown:'down'};
+const held = new Set();
+function send(q) { fetch('/session/input?' + q); }
+addEventListener('keydown', e => {
+  const k = KEYS[e.code];
+  if (k && !held.has(k)) { held.add(k); send('press=' + k); e.preventDefault(); }
+});
+addEventListener('keyup', e => {
+  const k = KEYS[e.code];
+  if (k) { held.delete(k); send('release=' + k); e.preventDefault(); }
+});
+v.addEventListener('touchstart', e => {
+  const r = v.getBoundingClientRect();
+  send('touch=started&x=' + (e.touches[0].clientX - r.left) + '&width=' + r.width);
+}, {passive: true});
+addEventListener('touchend', () => send('touch=ended'), {passive: true});
+let ema = null;
+async function loop() {
+  const t0 = performance.now();
+  try {
+    const blob = await (await fetch('/session/frame.png?w=480&h=280&samples=24')).blob();
+    v.src = URL.createObjectURL(blob);
+    const ms = performance.now() - t0;
+    ema = ema === null ? ms : ema * 0.9 + ms * 0.1;   // src/lib.rs:146-148
+    hud.textContent = 'Ocean: ' + ema.toFixed(2) + 'ms  (W/S move, arrows look, touch to yaw)';
+  } catch (e) { hud.textContent = 'error: ' + e; }
+  requestAnimationFrame(loop);
+}
+loop();
+</script></body></html>"""
+
+
+def _viewport(q) -> tuple:
+    w = int(q.get("w", ["300"])[0])
+    h = int(q.get("h", ["175"])[0])
+    s = int(q.get("samples", ["24"])[0])
+    if not (16 <= w <= 2048 and 16 <= h <= 2048 and 4 <= s <= 128):
+        raise ValueError("viewport out of range")
+    return w, h, s
 
 
 def _make_handler(service: FrameService):
@@ -132,12 +269,44 @@ def _make_handler(service: FrameService):
                     self._send(200, service.frame_npz(t), "application/octet-stream")
                 elif url.path == "/frame.png":
                     t = float(q.get("t", ["0"])[0])
-                    w = int(q.get("w", ["300"])[0])
-                    h = int(q.get("h", ["175"])[0])
-                    s = int(q.get("samples", ["24"])[0])
-                    if not (16 <= w <= 2048 and 16 <= h <= 2048 and 4 <= s <= 128):
-                        raise ValueError("viewport out of range")
-                    self._send(200, service.frame_png(t, w, h, s), "image/png")
+                    w, h, s = _viewport(q)
+                    camera = None
+                    if any(k in q for k in ("px", "py", "pz", "rx", "ry", "rz")):
+                        from gfx_ocean_tpu.render.camera import (  # noqa: PLC0415
+                            DEFAULT_POSITION, DEFAULT_ROTATION, Camera)
+
+                        camera = Camera()
+                        camera.position = np.array(
+                            [float(q.get(k, [d])[0]) for k, d in
+                             zip(("px", "py", "pz"), DEFAULT_POSITION)])
+                        camera.rotation = np.array(
+                            [float(q.get(k, [d])[0]) for k, d in
+                             zip(("rx", "ry", "rz"), DEFAULT_ROTATION)])
+                    self._send(200, service.frame_png(t, w, h, s, camera),
+                               "image/png")
+                elif url.path == "/":
+                    self._send(200, _VIEWER_HTML.encode(), "text/html")
+                elif url.path == "/session/input":
+                    if "press" in q:
+                        service.session.input("press", q["press"][0])
+                    elif "release" in q:
+                        service.session.input("release", q["release"][0])
+                    elif "touch" in q:
+                        service.session.input(
+                            "touch", q["touch"][0],
+                            x=float(q.get("x", ["0"])[0]),
+                            width=float(q.get("width", ["1"])[0]))
+                    else:
+                        raise ValueError("need press=, release=, or touch=")
+                    self._json(200, {"ok": True})
+                elif url.path == "/session/frame.png":
+                    w, h, s = _viewport(q)
+                    dt = float(q["dt"][0]) if "dt" in q else None
+                    t, cam = service.session.advance(dt)
+                    self._send(200, service.frame_png(t, w, h, s, cam),
+                               "image/png")
+                elif url.path == "/session/state":
+                    self._json(200, service.session.state())
                 else:
                     self._json(404, {"error": f"no route {url.path}"})
             except (ValueError, KeyError) as e:

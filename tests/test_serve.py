@@ -70,6 +70,67 @@ def test_metrics_progress(server):
     assert json.loads(_get(base + "/metrics")[1])["latency_ema_sec"] > 0
 
 
+def test_viewer_page(server):
+    base, _ = server
+    code, body, ctype = _get(base + "/")
+    assert code == 200 and ctype == "text/html"
+    assert b"/session/frame.png" in body and b"/session/input" in body
+
+
+def test_frame_png_pose_override(server):
+    base, _ = server
+    code, body, _ = _get(base + "/frame.png?t=1&w=64&h=48&samples=8"
+                               "&px=0&py=60&pz=200&rx=-0.8&ry=0")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_session_loop_reference_semantics(server):
+    """The server-side session applies src/camera.rs math exactly."""
+    from gfx_ocean_tpu.render.camera import Camera
+
+    base, srv = server
+    sess = srv.service.session
+    # Fresh, deterministic starting point regardless of test order.
+    from gfx_ocean_tpu.serve import CameraSession
+    srv.service.session = sess = CameraSession()
+
+    st = json.loads(_get(base + "/session/state")[1])
+    assert st["position"] == [-8.0, 32.0, 120.0]      # src/lib.rs:74-77
+    assert st["rotation"] == [-0.6, -1.5, 0.0]
+
+    # Hold W for one 0.1s frame: position += 90*dt*view_dir (camera.rs:126-133)
+    _get(base + "/session/input?press=w")
+    code, body, ctype = _get(base + "/session/frame.png?dt=0.1&w=32&h=32&samples=4")
+    assert code == 200 and ctype == "image/png"
+    want = Camera()
+    want.input.forward = 1.0
+    want.update(0.1)
+    st = json.loads(_get(base + "/session/state")[1])
+    np.testing.assert_allclose(st["position"], want.position, atol=1e-3)
+    assert st["sim_time"] == 0.1
+
+    # Release W, hold left arrow: yaw += 2*dt, position unchanged.
+    _get(base + "/session/input?release=w")
+    _get(base + "/session/input?press=left")
+    _get(base + "/session/frame.png?dt=0.05&w=32&h=32&samples=4")
+    st2 = json.loads(_get(base + "/session/state")[1])
+    np.testing.assert_allclose(st2["rotation"][1], st["rotation"][1] + 0.1,
+                               atol=1e-6)
+    assert st2["position"] == st["position"]
+
+    # Touch: left half of the screen yaws positive; end clears all input.
+    _get(base + "/session/input?release=left")
+    _get(base + "/session/input?touch=started&x=10&width=100")
+    assert json.loads(_get(base + "/session/state")[1])["input"]["rot_y"] == 1.0
+    _get(base + "/session/input?touch=ended")
+    assert json.loads(_get(base + "/session/state")[1])["input"]["rot_y"] == 0.0
+
+    # A/D are ignored, faithfully (SURVEY.md Q7).
+    _get(base + "/session/input?press=a")
+    assert json.loads(_get(base + "/session/state")[1])["input"] == {
+        "forward": 0.0, "rot_x": 0.0, "rot_y": 0.0}
+
+
 def test_error_paths(server):
     base, _ = server
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -7,16 +7,29 @@ rasterization with perspective-correct varyings, and the stylized water
 shading of ``shade.py``. Clear color (0.6, 0.6, 0.6) and depth-clear 1.0
 match ``src/render.rs:1340-1350``.
 
-Design: TPU-friendly data-parallel two-pass rasterization. Every triangle
-gets a fixed SAMPLES x SAMPLES pixel grid anchored at its bbox corner
-(masked outside bbox/edges); pass 1 scatter-mins depth into the z-buffer,
-pass 2 re-tests each sample against the winning depth and scatters its
-perspective-corrected varyings. Ties write arbitrarily (equal depth).
-This trades redundant samples for static shapes — the XLA-compatible
-formulation of a rasterizer (no data-dependent loops). Triangles whose
-bbox exceeds SAMPLES pixels are rendered partially (near-field geometry);
-raise ``samples`` for close-ups. Rendering is a verification path, not the
-benchmarked inner loop (BASELINE.json: rendering decoupled).
+Design: TPU-friendly data-parallel rasterization in 2D homogeneous
+coordinates (Olano & Greer 1997). Coverage and interpolation use
+lambda_i(p) = (v_j x v_k) . p on clip-space (x, y, w) directly — no
+near-plane clipping stage is ever needed, and triangles crossing the eye
+plane rasterize their visible part correctly. Perspective-correct
+interpolation of any vertex attribute is the normalized-lambda weighted
+sum; z comes from the same weights applied to clip z.
+
+Two coverage passes, both static-shape (the XLA-compatible formulation —
+no data-dependent loops):
+ 1. scatter: every fully-in-front triangle gets samples^2 sample points
+    that snake row-major through its own screen bbox (covering any bbox
+    of AREA <= samples^2 — thin grazing slivers included); depth
+    scatter-mins into the z-buffer, then winners scatter their varyings.
+    Ties write arbitrarily (equal depth).
+ 2. gather: triangles the budget cannot cover — screen bbox area above
+    samples^2, or any vertex behind the eye plane (unbounded bbox) — are
+    ranked by need and the top ``giants`` are edge-tested against every
+    pixel, in groups, merging by depth. On a displaced regular grid only
+    near-field cells qualify, so a modest K is exact.
+
+Rendering is a verification path, not the benchmarked inner loop
+(BASELINE.json: rendering decoupled).
 """
 
 from __future__ import annotations
@@ -40,33 +53,83 @@ def _vertex_stage(displacement, positions, uvs, view_proj):
     disp = disp.at[:, 2].multiply(1.0 / 3.5)
     world = positions + disp
     ones = jnp.ones((world.shape[0], 1), world.dtype)
-    clip = jnp.concatenate([world, ones], axis=-1) @ view_proj.T
+    # precision='highest': on TPU this 4x4 transform would otherwise run
+    # in bf16 on the MXU — quantized clip coords break the homogeneous
+    # edge tests (pixel-level speckle). Full f32 costs nothing at V x 4 x 4.
+    clip = jnp.einsum("vi,ji->vj", jnp.concatenate([world, ones], axis=-1),
+                      view_proj, precision="highest")
     clip = clip.at[:, 1].multiply(-1.0)  # ocean.vert:27
     return world, clip
 
 
-_TRI_CHUNK = 4096  # triangles per scan iteration — bounds peak memory
+_TRI_CHUNK = 4096   # scatter triangles per scan iteration — bounds memory
+_GIANT_GROUP = 32   # gather triangles per scan iteration
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "samples"))
+def _lambdas(v_clip, pnx, pny, pix_dims):
+    """Homogeneous edge functions at pixels.
+
+    Args:
+        v_clip: (..., 3, 4) clip coords of a triangle batch.
+        pnx, pny: pixel-center NDC coords with ``pix_dims`` trailing pixel
+            dims, broadcastable against the triangle batch dims.
+    Returns:
+        (lam0, lam1, lam2, det): lam_i(p) = (v_j x v_k) . (pnx, pny, 1)
+        over clip (x, y, w); det = (v1 x v2) . v0. A pixel is a visible
+        hit iff all lam_i * det >= 0 and (lam0+lam1+lam2) * det > 0
+        (the last also enforces w(p) > 0 — in front of the eye).
+    """
+    v = v_clip[..., (0, 1, 3)]                      # (..., 3, 3): x, y, w
+    cr = jnp.cross(v[..., (1, 2, 0), :], v[..., (2, 0, 1), :])  # (...,3,3)
+    det = jnp.sum(cr[..., 0, :] * v[..., 0, :], axis=-1)
+    pix_axes = tuple(range(-pix_dims, 0))
+
+    def ev(i):  # lam_i = cr_i . (pnx, pny, 1), broadcast over pixels
+        c0 = jnp.expand_dims(cr[..., i, 0], pix_axes)
+        c1 = jnp.expand_dims(cr[..., i, 1], pix_axes)
+        c2 = jnp.expand_dims(cr[..., i, 2], pix_axes)
+        return c0 * pnx + c1 * pny + c2
+
+    return ev(0), ev(1), ev(2), det
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "samples", "giants"))
 def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
-               width: int, height: int, samples: int):
+               width: int, height: int, samples: int, giants: int = 512):
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj)
 
     # Pad triangles to a chunk multiple; padding points at vertex 0 thrice
-    # (zero area -> masked out).
+    # (degenerate -> rejected by the det/denom sign tests).
     t_count = tris.shape[0]
+    tris_all = tris
     chunks = -(-t_count // _TRI_CHUNK)
     pad = chunks * _TRI_CHUNK - t_count
     tris = jnp.concatenate([tris, jnp.zeros((pad, 3), tris.dtype)], axis=0)
     tris = tris.reshape(chunks, _TRI_CHUNK, 3)
 
-    gy, gx = jnp.meshgrid(jnp.arange(samples), jnp.arange(samples), indexing="ij")
+    budget = samples * samples   # scatter samples per triangle
+    gk = jnp.arange(budget)
     spill = width * height  # out-of-screen scatter cell
 
-    def edge(ax, ay, bx, by, x, y):
-        return (x - ax) * (by - ay) - (y - ay) * (bx - ax)
+    def ndc_xy(cx, cy):
+        return 2.0 * cx / width - 1.0, 2.0 * cy / height - 1.0
 
+    def interp(lam0, lam1, lam2, inv_denom, attr):
+        """Perspective-correct attribute: normalized-lambda weighted sum.
+
+        attr: (C, 3, A) per-vertex values; lam/inv_denom: (C, K) samples.
+        """
+        num = (lam0[..., None] * attr[:, None, 0, :]
+               + lam1[..., None] * attr[:, None, 1, :]
+               + lam2[..., None] * attr[:, None, 2, :])
+        return num * inv_denom[..., None]
+
+    # --- pass 1+2: windowed scatter for fully-in-front triangles ----------
+    # The ``budget`` samples per triangle snake row-major through the
+    # triangle's own pixel bbox (not a fixed square), so any bbox of AREA
+    # <= budget is fully covered — thin grazing slivers included. Bboxes
+    # larger than the budget are the gather pass's job.
     def chunk_body(carry, tri_chunk):
         zbuf, uv_buf, world_buf = carry
         v_clip = clip[tri_chunk]          # (C, 3, 4)
@@ -74,39 +137,34 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
         v_uv = uvs[tri_chunk]             # (C, 3, 2)
 
         w = v_clip[..., 3]
-        valid = jnp.all(w > 1e-6, axis=-1)  # crude near-plane cull
-        w_safe = jnp.where(valid[:, None], w, 1.0)
-        ndc = v_clip[..., :3] / w_safe[..., None]
-        sx = (ndc[..., 0] + 1.0) * 0.5 * width
-        sy = (ndc[..., 1] + 1.0) * 0.5 * height
-        sz = ndc[..., 2]
+        fully_front = jnp.all(w > 1e-6, axis=-1)  # else: gather pass owns it
+        w_safe = jnp.where(fully_front[:, None], w, 1.0)
+        sx = (v_clip[..., 0] / w_safe * 0.5 + 0.5) * width
+        sy = (v_clip[..., 1] / w_safe * 0.5 + 0.5) * height
 
         x_min = jnp.floor(jnp.min(sx, axis=-1)).astype(jnp.int32)
         y_min = jnp.floor(jnp.min(sy, axis=-1)).astype(jnp.int32)
-        px = x_min[:, None, None] + gx[None]           # (C, S, S)
-        py = y_min[:, None, None] + gy[None]
+        bw = (jnp.floor(jnp.max(sx, axis=-1)).astype(jnp.int32) - x_min
+              + 1).clip(1)
+        px = x_min[:, None] + gk[None] % bw[:, None]   # (C, K)
+        py = y_min[:, None] + gk[None] // bw[:, None]
         on_screen = (px >= 0) & (px < width) & (py >= 0) & (py < height)
-        cx = px.astype(jnp.float32) + 0.5
-        cy = py.astype(jnp.float32) + 0.5
+        pnx, pny = ndc_xy(px.astype(jnp.float32) + 0.5,
+                          py.astype(jnp.float32) + 0.5)
 
-        e0 = edge(sx[:, 1, None, None], sy[:, 1, None, None],
-                  sx[:, 2, None, None], sy[:, 2, None, None], cx, cy)
-        e1 = edge(sx[:, 2, None, None], sy[:, 2, None, None],
-                  sx[:, 0, None, None], sy[:, 0, None, None], cx, cy)
-        e2 = edge(sx[:, 0, None, None], sy[:, 0, None, None],
-                  sx[:, 1, None, None], sy[:, 1, None, None], cx, cy)
-        area = edge(sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2], sx[:, 0], sy[:, 0])
-        degenerate = jnp.abs(area) < 1e-12
-        area = jnp.where(degenerate, 1.0, area)[:, None, None]
-        b0 = e0 / area
-        b1 = e1 / area
-        b2 = e2 / area
-        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)  # no backface culling
-
-        mask = (inside & on_screen & valid[:, None, None]
-                & ~degenerate[:, None, None])
-        z = (b0 * sz[:, 0, None, None] + b1 * sz[:, 1, None, None]
-             + b2 * sz[:, 2, None, None])
+        lam0, lam1, lam2, det = _lambdas(v_clip, pnx, pny, 1)
+        det = det[:, None]
+        denom = lam0 + lam1 + lam2
+        hit = ((lam0 * det >= 0) & (lam1 * det >= 0) & (lam2 * det >= 0)
+               & (denom * det > 0))
+        mask = hit & on_screen & fully_front[:, None]
+        inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
+        # z_ndc = z_clip(p) / w(p); both are linear varyings: sum(lam * .)
+        lam_w = (lam0 * v_clip[:, None, 0, 3] + lam1 * v_clip[:, None, 1, 3]
+                 + lam2 * v_clip[:, None, 2, 3])
+        z = (lam0 * v_clip[:, None, 0, 2] + lam1 * v_clip[:, None, 1, 2]
+             + lam2 * v_clip[:, None, 2, 2]) / jnp.where(lam_w == 0, 1.0,
+                                                         lam_w)
         mask = mask & (z > -1.0) & (z < 1.0)
         z_masked = jnp.where(mask, z, jnp.inf).astype(jnp.float32)
         flat_ix = jnp.where(mask, py * width + px, spill)
@@ -114,19 +172,11 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
         zbuf = zbuf.at[flat_ix.reshape(-1)].min(z_masked.reshape(-1))
 
         won = mask & (z_masked <= zbuf[flat_ix])
-        inv_w = 1.0 / w_safe  # (C, 3)
-
-        def persp(attr):  # (C, 3, A) -> (C, S, S, A), perspective-correct
-            num = (b0[..., None] * (attr[:, 0] * inv_w[:, 0, None])[:, None, None]
-                   + b1[..., None] * (attr[:, 1] * inv_w[:, 1, None])[:, None, None]
-                   + b2[..., None] * (attr[:, 2] * inv_w[:, 2, None])[:, None, None])
-            den = (b0 * inv_w[:, 0, None, None] + b1 * inv_w[:, 1, None, None]
-                   + b2 * inv_w[:, 2, None, None])
-            return num / den[..., None]
-
         scatter_ix = jnp.where(won, flat_ix, spill).reshape(-1)
-        uv_buf = uv_buf.at[scatter_ix].set(persp(v_uv).reshape(-1, 2))
-        world_buf = world_buf.at[scatter_ix].set(persp(v_world).reshape(-1, 3))
+        uv_s = interp(lam0, lam1, lam2, inv_denom, v_uv)
+        world_s = interp(lam0, lam1, lam2, inv_denom, v_world)
+        uv_buf = uv_buf.at[scatter_ix].set(uv_s.reshape(-1, 2))
+        world_buf = world_buf.at[scatter_ix].set(world_s.reshape(-1, 3))
         return (zbuf, uv_buf, world_buf), None
 
     init = (jnp.full((spill + 1,), jnp.inf, jnp.float32),
@@ -134,15 +184,109 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
             jnp.zeros((spill + 1, 3), jnp.float32))
     (zbuf, uv_buf, world_buf), _ = jax.lax.scan(chunk_body, init, tris)
 
-    covered = (zbuf[:-1] != jnp.inf).reshape(height, width)
+    z_img = zbuf[:-1].reshape(height, width)
     uv_img = uv_buf[:-1].reshape(height, width, 2)
     world_img = world_buf[:-1].reshape(height, width, 3)
+
+    # --- pass 3: gather for triangles the window cannot cover -------------
+    # Need = screen bbox AREA above the sample budget, or any vertex
+    # behind the eye plane (projected region unbounded — scored to the top
+    # unconditionally). Rank by need, test the top K per-pixel in groups
+    # of _GIANT_GROUP, merge by depth. Extra slots redo small triangles:
+    # no-ops under the same depth test. Lowering ``samples`` makes more
+    # triangles qualify — raise ``giants`` with it.
+    k_giants = min(giants, t_count)
+    groups = -(-k_giants // _GIANT_GROUP)
+
+    all_clip = clip[tris_all]                     # (T, 3, 4)
+    aw = all_clip[..., 3]
+    front = aw > 1e-6
+    fully_front = jnp.all(front, axis=-1)
+    crossing = jnp.any(front, axis=-1) & ~fully_front
+    # Conservative frustum cull, valid for any w sign (clip-space plane
+    # tests are linear): a triangle is invisible if all three vertices sit
+    # outside the same frustum plane. Without this, the strip of triangles
+    # straddling the camera *plane* — which spans the whole grid, mostly
+    # far outside the view — would flood the gather ranking.
+    def all_outside(c):
+        return jnp.all(c < -aw, axis=-1) | jnp.all(c > aw, axis=-1)
+
+    outside = (all_outside(all_clip[..., 0]) | all_outside(all_clip[..., 1])
+               | all_outside(all_clip[..., 2]))
+    aw_safe = jnp.where(fully_front[:, None], aw, 1.0)
+    asx = (all_clip[..., 0] / aw_safe * 0.5 + 0.5) * width
+    asy = (all_clip[..., 1] / aw_safe * 0.5 + 0.5) * height
+    bbw = jnp.floor(asx.max(-1)) - jnp.floor(asx.min(-1)) + 1.0
+    bbh = jnp.floor(asy.max(-1)) - jnp.floor(asy.min(-1)) + 1.0
+    area = bbw * bbh
+    overlaps = ((asx.max(-1) >= 0) & (asx.min(-1) < width)
+                & (asy.max(-1) >= 0) & (asy.min(-1) < height))
+    score = jnp.where(
+        crossing & ~outside, jnp.inf,
+        jnp.where(fully_front & ~outside & overlaps & (area > budget),
+                  area, -1.0))
+    _, giant_ix = jax.lax.top_k(score, k_giants)
+    giant_ok = jnp.take(score, giant_ix) > 0
+    gpad = groups * _GIANT_GROUP - k_giants
+    giant_ix = jnp.concatenate([giant_ix, jnp.zeros(gpad, giant_ix.dtype)])
+    giant_ok = jnp.concatenate([giant_ok, jnp.zeros(gpad, bool)])
+    giant_ix = giant_ix.reshape(groups, _GIANT_GROUP)
+    giant_ok = giant_ok.reshape(groups, _GIANT_GROUP)
+
+    pnx_f, pny_f = ndc_xy(jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5,
+                          jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5)
+
+    def giant_body(carry, group):
+        zb, uvb, wb = carry
+        ix, ok = group                                  # (G,), (G,)
+        vt = tris_all[ix]                               # (G, 3)
+        v_clip = clip[vt]                               # (G, 3, 4)
+        lam0, lam1, lam2, det = _lambdas(v_clip, pnx_f[None], pny_f[None], 2)
+        det = det[:, None, None]
+        denom = lam0 + lam1 + lam2                      # (G, H, W)
+        hit = ((lam0 * det >= 0) & (lam1 * det >= 0) & (lam2 * det >= 0)
+               & (denom * det > 0)) & ok[:, None, None]
+        inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
+        lam_w = (lam0 * v_clip[:, None, None, 0, 3]
+                 + lam1 * v_clip[:, None, None, 1, 3]
+                 + lam2 * v_clip[:, None, None, 2, 3])
+        z = (lam0 * v_clip[:, None, None, 0, 2]
+             + lam1 * v_clip[:, None, None, 1, 2]
+             + lam2 * v_clip[:, None, None, 2, 2]) / jnp.where(
+                 lam_w == 0, 1.0, lam_w)
+        hit = hit & (z > -1.0) & (z < 1.0)
+        z_masked = jnp.where(hit, z, jnp.inf).astype(jnp.float32)
+
+        best = jnp.argmin(z_masked, axis=0)             # (H, W)
+        take = lambda a: jnp.take_along_axis(a, best[None], axis=0)[0]
+        z_best = take(z_masked)
+        win = z_best <= zb                              # inf where no hit
+
+        lam0w, lam1w, lam2w = take(lam0), take(lam1), take(lam2)
+        invw = take(inv_denom)
+        wtris = vt[best]                                # (H, W, 3)
+
+        def interp_w(attr_table):                       # (V, A) -> (H, W, A)
+            a = attr_table[wtris]                       # (H, W, 3, A)
+            return (lam0w[..., None] * a[..., 0, :]
+                    + lam1w[..., None] * a[..., 1, :]
+                    + lam2w[..., None] * a[..., 2, :]) * invw[..., None]
+
+        zb = jnp.where(win, z_best, zb)
+        uvb = jnp.where(win[..., None], interp_w(uvs), uvb)
+        wb = jnp.where(win[..., None], interp_w(world), wb)
+        return (zb, uvb, wb), None
+
+    (z_img, uv_img, world_img), _ = jax.lax.scan(
+        giant_body, (z_img, uv_img, world_img), (giant_ix, giant_ok))
+
+    covered = z_img != jnp.inf
 
     color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
                                world_img, camera_pos)
     clear = jnp.asarray(sh.CLEAR_COLOR)
     img = jnp.where(covered[..., None], color, clear[None, None])
-    return img, zbuf[:-1].reshape(height, width)
+    return img, z_img
 
 
 def render_frame(
@@ -152,7 +296,8 @@ def render_frame(
     height: int = 175,
     mesh_resolution: int = 128,
     num_patches: int = 4,
-    samples: int = 32,
+    samples: int = 16,
+    giants: int = 512,
     return_depth: bool = False,
 ):
     """Render one frame from a displacement map along a camera.
@@ -173,7 +318,7 @@ def render_frame(
         jnp.asarray(displacement), jnp.asarray(positions), jnp.asarray(uvs),
         jnp.asarray(tris.astype(np.int32)), view_proj,
         jnp.asarray(camera.position.astype(np.float32)),
-        width, height, samples)
+        width, height, samples, giants)
     if return_depth:
         return img, depth
     return img
@@ -186,7 +331,8 @@ def render_frames(
     height: int = 175,
     mesh_resolution: int = 128,
     num_patches: int = 4,
-    samples: int = 32,
+    samples: int = 16,
+    giants: int = 512,
 ) -> jnp.ndarray:
     """Batched frame generation (BASELINE config 5): vmap the rasterizer
     over per-frame displacement maps and cameras.
@@ -209,6 +355,6 @@ def render_frames(
         lambda d, vp, cp: _rasterize(
             d, jnp.asarray(positions), jnp.asarray(uvs),
             jnp.asarray(tris.astype(np.int32)), vp, cp,
-            width, height, samples)[0])
+            width, height, samples, giants)[0])
     return f(jnp.asarray(displacements), jnp.asarray(view_projs),
              jnp.asarray(cam_pos))

@@ -217,3 +217,28 @@ def test_render_frames_batched():
                                          width=64, height=48,
                                          mesh_resolution=64, samples=12))
         np.testing.assert_allclose(batch[i], single, atol=1e-5)
+
+
+def test_gather_pass_completes_near_field():
+    """Oversized near-field triangles are finished by the giant-triangle
+    gather pass: coverage at a small sample window matches a window large
+    enough to hold every triangle (the scatter pass alone cannot do this)."""
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    cam = Camera()
+    cam.position = np.array([31.0, 2.5, 55.0])    # skimming the surface
+    cam.rotation = np.array([0.0, 0.0, 0.0])      # (32-res mesh spans 62^2)
+
+    def coverage(samples, giants):
+        _, depth = render_frame(disp, cam, width=128, height=80,
+                                mesh_resolution=32, samples=samples,
+                                giants=giants, return_depth=True)
+        return np.isfinite(np.asarray(depth))
+
+    # A smaller window lowers the giant threshold, so more triangles
+    # qualify — raise K with it (the documented samples<->giants trade).
+    small = coverage(samples=12, giants=512)
+    big = coverage(samples=96, giants=128)
+    assert small.mean() > 0.3            # the ocean fills the lower frame
+    np.testing.assert_array_equal(small, big)

@@ -215,7 +215,7 @@ let ema = null;
 async function loop() {
   const t0 = performance.now();
   try {
-    const blob = await (await fetch('/session/frame.png?w=480&h=280&samples=24')).blob();
+    const blob = await (await fetch('/session/frame.png?w=480&h=280&samples=16')).blob();
     v.src = URL.createObjectURL(blob);
     const ms = performance.now() - t0;
     ema = ema === null ? ms : ema * 0.9 + ms * 0.1;   // src/lib.rs:146-148
@@ -230,7 +230,7 @@ loop();
 def _viewport(q) -> tuple:
     w = int(q.get("w", ["300"])[0])
     h = int(q.get("h", ["175"])[0])
-    s = int(q.get("samples", ["24"])[0])
+    s = int(q.get("samples", ["16"])[0])
     if not (16 <= w <= 2048 and 16 <= h <= 2048 and 4 <= s <= 128):
         raise ValueError("viewport out of range")
     return w, h, s

@@ -20,13 +20,16 @@ no data-dependent loops):
  1. scatter: every fully-in-front triangle gets samples^2 sample points
     that snake row-major through its own screen bbox (covering any bbox
     of AREA <= samples^2 — thin grazing slivers included); depth
-    scatter-mins into the z-buffer, then winners scatter their varyings.
-    Ties write arbitrarily (equal depth).
+    scatter-mins into the z-buffer, then winners scatter their triangle
+    ID. Ties write arbitrarily (equal depth).
  2. gather: triangles the budget cannot cover — screen bbox area above
     samples^2, or any vertex behind the eye plane (unbounded bbox) — are
     ranked by need and the top ``giants`` are edge-tested against every
-    pixel, in groups, merging by depth. On a displaced regular grid only
-    near-field cells qualify, so a modest K is exact.
+    pixel, in groups, merging depth + ID. On a displaced regular grid
+    only near-field cells qualify, so a modest K is exact.
+ 3. deferred varyings: one per-pixel interpolation of uv/world from the
+    winning-ID image (scatter traffic is the TPU bottleneck; z+id is 2
+    scattered channels instead of 6).
 
 Rendering is a verification path, not the benchmarked inner loop
 (BASELINE.json: rendering decoupled).
@@ -115,26 +118,19 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
     def ndc_xy(cx, cy):
         return 2.0 * cx / width - 1.0, 2.0 * cy / height - 1.0
 
-    def interp(lam0, lam1, lam2, inv_denom, attr):
-        """Perspective-correct attribute: normalized-lambda weighted sum.
-
-        attr: (C, 3, A) per-vertex values; lam/inv_denom: (C, K) samples.
-        """
-        num = (lam0[..., None] * attr[:, None, 0, :]
-               + lam1[..., None] * attr[:, None, 1, :]
-               + lam2[..., None] * attr[:, None, 2, :])
-        return num * inv_denom[..., None]
-
     # --- pass 1+2: windowed scatter for fully-in-front triangles ----------
     # The ``budget`` samples per triangle snake row-major through the
     # triangle's own pixel bbox (not a fixed square), so any bbox of AREA
     # <= budget is fully covered — thin grazing slivers included. Bboxes
     # larger than the budget are the gather pass's job.
-    def chunk_body(carry, tri_chunk):
-        zbuf, uv_buf, world_buf = carry
+    #
+    # Only depth and the winning triangle ID are scattered (visibility);
+    # varyings are reconstructed once per *pixel* at the end — scatter
+    # traffic is the TPU bottleneck, and z+id is 2 channels vs 6.
+    def chunk_body(carry, chunk):
+        zbuf, idbuf = carry
+        tri_chunk, tri_ids = chunk
         v_clip = clip[tri_chunk]          # (C, 3, 4)
-        v_world = world[tri_chunk]        # (C, 3, 3)
-        v_uv = uvs[tri_chunk]             # (C, 3, 2)
 
         w = v_clip[..., 3]
         fully_front = jnp.all(w > 1e-6, axis=-1)  # else: gather pass owns it
@@ -158,7 +154,6 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
         hit = ((lam0 * det >= 0) & (lam1 * det >= 0) & (lam2 * det >= 0)
                & (denom * det > 0))
         mask = hit & on_screen & fully_front[:, None]
-        inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
         # z_ndc = z_clip(p) / w(p); both are linear varyings: sum(lam * .)
         lam_w = (lam0 * v_clip[:, None, 0, 3] + lam1 * v_clip[:, None, 1, 3]
                  + lam2 * v_clip[:, None, 2, 3])
@@ -173,20 +168,18 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
 
         won = mask & (z_masked <= zbuf[flat_ix])
         scatter_ix = jnp.where(won, flat_ix, spill).reshape(-1)
-        uv_s = interp(lam0, lam1, lam2, inv_denom, v_uv)
-        world_s = interp(lam0, lam1, lam2, inv_denom, v_world)
-        uv_buf = uv_buf.at[scatter_ix].set(uv_s.reshape(-1, 2))
-        world_buf = world_buf.at[scatter_ix].set(world_s.reshape(-1, 3))
-        return (zbuf, uv_buf, world_buf), None
+        ids = jnp.broadcast_to(tri_ids[:, None], won.shape).reshape(-1)
+        idbuf = idbuf.at[scatter_ix].set(ids)
+        return (zbuf, idbuf), None
 
+    all_ids = jnp.arange(chunks * _TRI_CHUNK,
+                         dtype=jnp.int32).reshape(chunks, _TRI_CHUNK)
     init = (jnp.full((spill + 1,), jnp.inf, jnp.float32),
-            jnp.zeros((spill + 1, 2), jnp.float32),
-            jnp.zeros((spill + 1, 3), jnp.float32))
-    (zbuf, uv_buf, world_buf), _ = jax.lax.scan(chunk_body, init, tris)
+            jnp.zeros((spill + 1,), jnp.int32))
+    (zbuf, idbuf), _ = jax.lax.scan(chunk_body, init, (tris, all_ids))
 
     z_img = zbuf[:-1].reshape(height, width)
-    uv_img = uv_buf[:-1].reshape(height, width, 2)
-    world_img = world_buf[:-1].reshape(height, width, 3)
+    id_img = idbuf[:-1].reshape(height, width)
 
     # --- pass 3: gather for triangles the window cannot cover -------------
     # Need = screen bbox AREA above the sample budget, or any vertex
@@ -237,16 +230,14 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                           jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5)
 
     def giant_body(carry, group):
-        zb, uvb, wb = carry
+        zb, idb = carry
         ix, ok = group                                  # (G,), (G,)
-        vt = tris_all[ix]                               # (G, 3)
-        v_clip = clip[vt]                               # (G, 3, 4)
+        v_clip = clip[tris_all[ix]]                     # (G, 3, 4)
         lam0, lam1, lam2, det = _lambdas(v_clip, pnx_f[None], pny_f[None], 2)
         det = det[:, None, None]
         denom = lam0 + lam1 + lam2                      # (G, H, W)
         hit = ((lam0 * det >= 0) & (lam1 * det >= 0) & (lam2 * det >= 0)
                & (denom * det > 0)) & ok[:, None, None]
-        inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
         lam_w = (lam0 * v_clip[:, None, None, 0, 3]
                  + lam1 * v_clip[:, None, None, 1, 3]
                  + lam2 * v_clip[:, None, None, 2, 3])
@@ -258,29 +249,35 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
         z_masked = jnp.where(hit, z, jnp.inf).astype(jnp.float32)
 
         best = jnp.argmin(z_masked, axis=0)             # (H, W)
-        take = lambda a: jnp.take_along_axis(a, best[None], axis=0)[0]
-        z_best = take(z_masked)
+        z_best = jnp.take_along_axis(z_masked, best[None], axis=0)[0]
         win = z_best <= zb                              # inf where no hit
-
-        lam0w, lam1w, lam2w = take(lam0), take(lam1), take(lam2)
-        invw = take(inv_denom)
-        wtris = vt[best]                                # (H, W, 3)
-
-        def interp_w(attr_table):                       # (V, A) -> (H, W, A)
-            a = attr_table[wtris]                       # (H, W, 3, A)
-            return (lam0w[..., None] * a[..., 0, :]
-                    + lam1w[..., None] * a[..., 1, :]
-                    + lam2w[..., None] * a[..., 2, :]) * invw[..., None]
-
         zb = jnp.where(win, z_best, zb)
-        uvb = jnp.where(win[..., None], interp_w(uvs), uvb)
-        wb = jnp.where(win[..., None], interp_w(world), wb)
-        return (zb, uvb, wb), None
+        idb = jnp.where(win, ix[best], idb)
+        return (zb, idb), None
 
-    (z_img, uv_img, world_img), _ = jax.lax.scan(
-        giant_body, (z_img, uv_img, world_img), (giant_ix, giant_ok))
+    (z_img, id_img), _ = jax.lax.scan(
+        giant_body, (z_img, id_img), (giant_ix, giant_ok))
 
     covered = z_img != jnp.inf
+
+    # --- pass 4: per-pixel varying reconstruction from the ID image -------
+    # Perspective-correct uv/world for each pixel's winning triangle, with
+    # the same lambda weights (uncovered pixels compute garbage from id 0
+    # and are masked by ``covered`` at the end).
+    vt = tris_all[id_img]                               # (H, W, 3)
+    v_clip_pix = clip[vt]                               # (H, W, 3, 4)
+    lam0, lam1, lam2, _ = _lambdas(v_clip_pix, pnx_f, pny_f, 0)
+    denom = lam0 + lam1 + lam2
+    inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
+
+    def interp_pix(attr_table):                         # (V, A) -> (H, W, A)
+        a = attr_table[vt]                              # (H, W, 3, A)
+        return (lam0[..., None] * a[..., 0, :]
+                + lam1[..., None] * a[..., 1, :]
+                + lam2[..., None] * a[..., 2, :]) * inv_denom[..., None]
+
+    uv_img = interp_pix(uvs)
+    world_img = interp_pix(world)
 
     color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
                                world_img, camera_pos)

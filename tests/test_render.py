@@ -242,3 +242,58 @@ def test_gather_pass_completes_near_field():
     big = coverage(samples=96, giants=128)
     assert small.mean() > 0.3            # the ocean fills the lower frame
     np.testing.assert_array_equal(small, big)
+
+
+def test_homogeneous_visibility_fuzz():
+    """Rasterizer coverage/depth vs ray-cast ground truth, including
+    triangles crossing the eye plane (the case that needs no clipping in
+    the homogeneous formulation)."""
+    from gfx_ocean_tpu.render.raster import _lambdas
+
+    rng2 = np.random.default_rng(7)
+    near, far = 0.1, 1024.0
+    P = np.zeros((4, 4))
+    P[0, 0] = P[1, 1] = 1.0
+    P[2, 2] = -(far + near) / (far - near)
+    P[2, 3] = -2.0 * far * near / (far - near)
+    P[3, 2] = -1.0
+
+    tested = mismatches = 0
+    for _ in range(120):
+        verts = rng2.uniform(-8, 8, (3, 3))
+        verts[:, 2] = rng2.uniform(-20, 5, 3)   # some vertices behind the eye
+        clip = np.concatenate([verts, np.ones((3, 1))], 1) @ P.T
+        v = clip[:, (0, 1, 3)]
+        det_np = np.cross(v[1], v[2]) @ v[0]
+        if abs(det_np) < 1e-9:
+            continue
+        pts = rng2.uniform(-1, 1, (20, 2))
+        l0, l1, l2, det = _lambdas(jnp.asarray(clip, jnp.float64)[None],
+                                   jnp.asarray(pts[:, 0])[None],
+                                   jnp.asarray(pts[:, 1])[None], 1)
+        l0, l1, l2 = np.asarray(l0)[0], np.asarray(l1)[0], np.asarray(l2)[0]
+        det = float(np.asarray(det)[0])
+        denom = l0 + l1 + l2
+        mine = ((l0 * det >= 0) & (l1 * det >= 0) & (l2 * det >= 0)
+                & (denom * det > 0))
+        lam_w = l0 * clip[0, 3] + l1 * clip[1, 3] + l2 * clip[2, 3]
+        z = np.divide(l0 * clip[0, 2] + l1 * clip[1, 2] + l2 * clip[2, 2],
+                      np.where(lam_w == 0, 1.0, lam_w))
+        mine &= (z > -1) & (z < 1)
+        for k, (px, py) in enumerate(pts):
+            d = np.array([px, py, -1.0])        # ray through the NDC point
+            e1, e2 = verts[1] - verts[0], verts[2] - verts[0]
+            h = np.cross(d, e2)
+            a = e1 @ h
+            if abs(a) < 1e-12:
+                continue
+            s = -verts[0]
+            u = (s @ h) / a
+            vv = (d @ np.cross(s, e1)) / a
+            t = (e2 @ np.cross(s, e1)) / a
+            truth = (u >= 0) and (vv >= 0) and (u + vv <= 1) and (t > 0) \
+                and (near <= -t * d[2] <= far)
+            tested += 1
+            mismatches += bool(mine[k]) != truth
+    assert tested > 1000
+    assert mismatches == 0, f"{mismatches}/{tested} visibility mismatches"

@@ -268,7 +268,7 @@ def test_homogeneous_visibility_fuzz():
         if abs(det_np) < 1e-9:
             continue
         pts = rng2.uniform(-1, 1, (20, 2))
-        l0, l1, l2, det = _lambdas(jnp.asarray(clip, jnp.float64)[None],
+        l0, l1, l2, det = _lambdas(jnp.asarray(clip, jnp.float32)[None],
                                    jnp.asarray(pts[:, 0])[None],
                                    jnp.asarray(pts[:, 1])[None], 1)
         l0, l1, l2 = np.asarray(l0)[0], np.asarray(l1)[0], np.asarray(l2)[0]

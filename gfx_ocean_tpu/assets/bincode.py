@@ -26,7 +26,15 @@ import struct
 
 import numpy as np
 
-_REFERENCE_DATA = "/root/reference/data"
+def reference_data_dir() -> str:
+    """Directory holding the reference's shipped bins.
+
+    Overridable with GFX_OCEAN_REFERENCE_DATA (resolved per call, so test
+    harnesses can point it at generated fixtures — see tests/conftest.py,
+    which synthesizes Phillips assets on hosts without the reference
+    checkout).
+    """
+    return os.environ.get("GFX_OCEAN_REFERENCE_DATA", "/root/reference/data")
 
 
 def _read_header(buf: bytes, path: str) -> int:
@@ -68,7 +76,7 @@ def load_spectrum(path: str | None = None, resolution: int = 512) -> np.ndarray:
 
     Defaults to the reference's shipped ``data/spectrum.bin``.
     """
-    path = path or os.path.join(_REFERENCE_DATA, "spectrum.bin")
+    path = path or os.path.join(reference_data_dir(), "spectrum.bin")
     native = _native_loader()
     if native is not None:
         flat = native.parse_vec2f(path)
@@ -89,7 +97,7 @@ def load_omega(path: str | None = None, resolution: int = 512) -> np.ndarray:
 
     Defaults to the reference's shipped ``data/omega.bin``.
     """
-    path = path or os.path.join(_REFERENCE_DATA, "omega.bin")
+    path = path or os.path.join(reference_data_dir(), "omega.bin")
     native = _native_loader()
     if native is not None:
         flat = native.parse_f32(path)

@@ -40,7 +40,15 @@ def _config_from_json(blob: str) -> OceanConfig:
 
 
 def save_checkpoint(path: str, state: OceanState, t: float,
-                    config: OceanConfig) -> None:
+                    config: OceanConfig) -> str:
+    """Write a checkpoint; returns the actual path written.
+
+    ``np.savez`` silently appends ``.npz`` when the suffix is missing; we
+    normalize up front so the path we report (and the one ``--resume``
+    later receives) is the file that exists.
+    """
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez(
         path,
         format_version=FORMAT_VERSION,
@@ -49,6 +57,7 @@ def save_checkpoint(path: str, state: OceanState, t: float,
         t=np.float64(t),
         config=_config_to_json(config),
     )
+    return path
 
 
 def load_checkpoint(path: str) -> Tuple[OceanState, float, OceanConfig]:

@@ -131,8 +131,8 @@ def cmd_simulate(args) -> int:
         print(json.dumps({"frames": len(ts), "t0": float(t0),
                           "t1": float(ts[-1]), "checksums_head": sums[:5].tolist()}))
     if args.checkpoint:
-        save_checkpoint(args.checkpoint, state, float(ts[-1]) + args.dt, config)
-        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
+        written = save_checkpoint(args.checkpoint, state, float(ts[-1]) + args.dt, config)
+        print(f"checkpoint -> {written}", file=sys.stderr)
     return 0
 
 

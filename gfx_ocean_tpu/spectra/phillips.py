@@ -92,4 +92,4 @@ def synthesize(
     xi_r = jax.random.normal(kr, (n, n), dtype=jnp.float32)
     xi_i = jax.random.normal(ki, (n, n), dtype=jnp.float32)
     h0 = jnp.stack([xi_r * p, xi_i * p], axis=0)
-    return h0, dispersion(n, domain_size)
+    return h0, dispersion(n, domain_size, cfg.gravity)

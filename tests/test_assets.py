@@ -8,7 +8,7 @@ import pytest
 from gfx_ocean_tpu.assets import bincode
 
 
-def test_spectrum_shape_and_range(reference_state):
+def test_spectrum_shape_and_range(reference_state, shipped_assets):
     h0, omega = reference_state
     assert h0.shape == (512, 512) and h0.dtype == np.complex64
     assert omega.shape == (512, 512) and omega.dtype == np.float32
@@ -21,7 +21,7 @@ def test_spectrum_shape_and_range(reference_state):
     assert 4.7 < omega.max() < 4.8
 
 
-def test_omega_consistent_with_deep_water_dispersion(reference_state):
+def test_omega_consistent_with_deep_water_dispersion(reference_state, shipped_assets):
     """omega.bin should be sqrt(g |k|) on the centered wavenumber grid
     (SURVEY.md §3.4) — also validates our k-grid conventions."""
     _, omega = reference_state

@@ -25,8 +25,8 @@ def native():
 def test_native_matches_python_parser(native):
     from gfx_ocean_tpu.assets import bincode
 
-    spath = "/root/reference/data/spectrum.bin"
-    opath = "/root/reference/data/omega.bin"
+    spath = os.path.join(bincode.reference_data_dir(), "spectrum.bin")
+    opath = os.path.join(bincode.reference_data_dir(), "omega.bin")
     with open(spath, "rb") as f:
         py_spec = bincode.parse_bincode_vec2f(f.read(), spath)
     with open(opath, "rb") as f:

@@ -9,6 +9,8 @@ import urllib.error
 import numpy as np
 import pytest
 
+pytest.importorskip("PIL", reason="PNG endpoints need Pillow")
+
 import gfx_ocean_tpu as ot
 from gfx_ocean_tpu.models.ocean import downsample_state
 from gfx_ocean_tpu.serve import serve

@@ -11,7 +11,7 @@ from gfx_ocean_tpu.models.ocean import ocean_state_from_phillips
 from gfx_ocean_tpu.spectra.phillips import dispersion, phillips_spectrum, synthesize
 
 
-def test_dispersion_matches_shipped_omega(reference_state):
+def test_dispersion_matches_shipped_omega(reference_state, shipped_assets):
     """Regenerated omega must reproduce data/omega.bin (SURVEY.md §3.4).
 
     Criterion is the median: the shipped bin contains a few DC-adjacent

@@ -107,15 +107,23 @@ def make_sharded_rollout(config: OceanConfig, mesh: Mesh, batched: bool = True,
     state stays sharded across the mesh for the whole rollout; each step's
     FFT reshards once over the "row" axis via XLA-inserted collectives.
     Returns per-frame scalar checksums (replicated).
+
+    The time-invariant propagate combination planes are hoisted out of the
+    scan exactly as in the single-chip rollout (``models/ocean.py``): the
+    ``h0[::-1, ::-1]`` flip they contain is a cross-chip ppermute when
+    row-sharded, so hoisting makes it once-per-rollout instead of
+    once-per-frame (verified on the HLO: no ppermute inside the scan body).
     """
     import jax.numpy as jnp  # noqa: PLC0415
+
+    from gfx_ocean_tpu.ops.propagate import precompute_propagate  # noqa: PLC0415
 
     specs = state_specs(batched)
     state_sharding = OceanState(h0=NamedSharding(mesh, specs.h0),
                                 omega=NamedSharding(mesh, specs.omega))
 
-    def one(state, t):
-        fields = step(state, t, config)
+    def one(state, t, pre):
+        fields = step(state, t, config, pre=pre)
         out = jnp.sum(fields.displacement, dtype=jnp.float32)
         if fields.normals is not None:
             out = out + jnp.sum(fields.normals, dtype=jnp.float32)
@@ -123,15 +131,18 @@ def make_sharded_rollout(config: OceanConfig, mesh: Mesh, batched: bool = True,
             out = out + jnp.sum(fields.foam, dtype=jnp.float32)
         return out
 
-    def body(state, t):
+    def body(carry, t):
+        state, pre = carry
         if time_batch == 1:
-            return state, one(state, t)
-        return state, jax.vmap(lambda tt: one(state, tt))(t)
+            return carry, one(state, t, pre)
+        return carry, jax.vmap(lambda tt: one(state, tt, pre))(t)
 
     def rollout(state: OceanState, ts):
         if time_batch > 1:
             ts = ts.reshape(ts.shape[0] // time_batch, time_batch)
-        _, out = jax.lax.scan(body, state, ts)
+        pre = (None if config.fft_impl == "pallas"
+               else precompute_propagate(state.h0, config.compat))
+        _, out = jax.lax.scan(body, (state, pre), ts)
         return out.reshape(-1)
 
     return jax.jit(rollout, in_shardings=(state_sharding, None))

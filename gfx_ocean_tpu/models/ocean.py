@@ -61,35 +61,35 @@ class OceanFields(NamedTuple):
 
 
 def _fields_from_specs(specs_r: jax.Array, specs_i: jax.Array,
-                       config: OceanConfig) -> jax.Array:
+                       config: OceanConfig, ifft2=None) -> jax.Array:
     """Evolved spectra planes -> (..., N, N, 3) displacement map.
 
     The centering sign (correction pass) is folded into the DFT tables —
     correction reduces to channel packing, in the (disp_x, height, disp_z)
     order of ``shader/correction.comp:31-34``.
+
+    ``ifft2`` optionally overrides the transform with a drop-in twin taking
+    ``(xr, xi, precision=, centered=)`` — the hook the explicit-collective
+    distributed FFT (``parallel/distributed_fft.py``) plugs into.
     """
+    if ifft2 is None:
+        ifft2 = functools.partial(ifft2_real_unnorm, impl=config.fft_impl,
+                                  direct_max=config.direct_dft_max)
     centered = "ref" if config.compat.ref_sign else "canonical"
     if (config.choppy_precision is not None
             and config.choppy_precision != config.matmul_precision):
-        height = ifft2_real_unnorm(
-            specs_r[0], specs_i[0],
-            impl=config.fft_impl, direct_max=config.direct_dft_max,
-            precision=config.matmul_precision, centered=centered)
-        choppy = ifft2_real_unnorm(
-            specs_r[1:], specs_i[1:],
-            impl=config.fft_impl, direct_max=config.direct_dft_max,
-            precision=config.choppy_precision, centered=centered)
+        height = ifft2(specs_r[0], specs_i[0],
+                       precision=config.matmul_precision, centered=centered)
+        choppy = ifft2(specs_r[1:], specs_i[1:],
+                       precision=config.choppy_precision, centered=centered)
         return jnp.stack([choppy[0], height, choppy[1]], axis=-1)
-    fields = ifft2_real_unnorm(
-        specs_r, specs_i,
-        impl=config.fft_impl, direct_max=config.direct_dft_max,
-        precision=config.matmul_precision,
-        centered=centered)
+    fields = ifft2(specs_r, specs_i,
+                   precision=config.matmul_precision, centered=centered)
     return jnp.stack([fields[1], fields[0], fields[2]], axis=-1)
 
 
 def step(state: OceanState, t: jax.Array, config: OceanConfig,
-         pre: Optional[jax.Array] = None) -> OceanFields:
+         pre: Optional[jax.Array] = None, ifft2=None) -> OceanFields:
     """One simulation frame: propagate -> 2D iFFT x3 -> correction (+ extras).
 
     The three spectra are batched into one leading axis so the FFT runs as a
@@ -99,6 +99,8 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig,
     ``pre`` optionally passes the time-invariant propagate combination
     planes (``precompute_propagate``) so rollouts hoist them out of the
     scan — the flip gathers then happen once per rollout, not per frame.
+    ``ifft2`` optionally overrides the 2-D transform (see
+    ``_fields_from_specs``).
     """
     if config.fft_impl == "pallas":
         from gfx_ocean_tpu.ops.pallas_step import pallas_fields  # noqa: PLC0415
@@ -113,7 +115,7 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig,
             pre = precompute_propagate(state.h0, config.compat)
         specs_r, specs_i = propagate_planes_pre(
             pre, state.omega, t, config.domain_size, config.compat)
-        disp = _fields_from_specs(specs_r, specs_i, config)
+        disp = _fields_from_specs(specs_r, specs_i, config, ifft2=ifft2)
 
     normals = None
     if config.compute_normals:

@@ -4,15 +4,28 @@ The reference decomposes its 2-D FFT into independent row FFTs, a barrier,
 then column FFTs (``src/render.rs:1158-1231``) — exactly the transpose
 decomposition every distributed FFT uses. On a TPU mesh this becomes:
 
-    row pass   : each chip DFTs its local band of rows (local MXU matmul)
+    row pass   : each chip DFTs its local band of rows (local MXU matmuls)
     transpose  : one ``all_to_all`` over the "row" axis reshards from
                  row-bands to column-bands (rides ICI)
-    col pass   : each chip DFTs its local band of columns (local matmul)
+    col pass   : each chip DFTs its local band of columns (local matmuls)
 
 ``sharding.make_sharded_step`` gets the same schedule implicitly from
 GSPMD; this module is the hand-scheduled formulation — it pins the
 communication pattern (useful at scales where GSPMD's choice regresses)
 and is the template for a future Pallas kernel with fused RDMA.
+
+The local passes are the SAME production kernels as the single-chip path
+(``ops/fft.py``), so every capability carries over:
+
+* four-step Cooley-Tukey above ``direct_max`` — table memory is
+  O(N1^2 + N2^2 + N1*N2) ~ O(N) instead of a dense N x N W replicated
+  per chip (at 8192^2 a dense f32 table pair would be ~0.5 GB/chip);
+* the (-1)^(x+y) centering sign folded into the tables (``centered=``,
+  zero runtime ops — the whole correction pass vanishes, reference or
+  canonical Q2 convention);
+* the full precision ladder including the explicit-split "bf16x3" /
+  "bf16x4" tiers (resolved inside ``_mm``/``_einsum``, never handed raw
+  to ``jnp.matmul``).
 
 Layout note: inputs are row-sharded (re, im) planes; the output field comes
 back **row-sharded** again (a second all_to_all) so downstream elementwise
@@ -22,24 +35,59 @@ passes see the same layout they were given.
 from __future__ import annotations
 
 import functools
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from gfx_ocean_tpu.ops.fft import dft_matrices, resolve_precision
+from gfx_ocean_tpu.ops.fft import (
+    _dft_matrix_out_alt_np,
+    _direct_last,
+    _foursteps_last,
+    _mm,
+    dft_matrices,
+    resolve_precision,
+)
 
 
-def _local_ifft2_real(xr, xi, wr, wi, axis_name: str, prec) -> jnp.ndarray:
-    """Per-shard body: row DFT -> all_to_all transpose -> col DFT (real out).
+def _row_pass(xr, xi, prec, direct_max: int, fold: bool):
+    """Full-complex DFT along the (locally complete) last axis.
+
+    Folds the x-half of the centering sign into the output table when
+    ``fold`` (same folding as the single-chip row pass)."""
+    n = xr.shape[-1]
+    if n <= direct_max:
+        return _direct_last(xr, xi, prec, real_out=False, out_alt=fold)
+    return _foursteps_last(xr, xi, prec, real_out=False, out_alt=fold)
+
+
+def _col_pass_real(ar, ai, prec, direct_max: int, fold: bool, negate: bool):
+    """Real-output DFT along axis -2 of a local (..., M, N/P) column band.
+
+    Folds the y-half of the centering sign (and the reference's global Q2
+    flip, ``negate``) into the tables."""
+    m = ar.shape[-2]
+    if m <= direct_max:
+        if fold:
+            wr, wi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(m, 1, 0, negate))
+        else:
+            wr, wi = dft_matrices(m, sign=1)
+        return _mm(wr, ar, prec) - _mm(wi, ai, prec)
+    ar = jnp.swapaxes(ar, -1, -2)
+    ai = jnp.swapaxes(ai, -1, -2)
+    y, _ = _foursteps_last(ar, ai, prec, real_out=True, out_alt=fold, negate=negate)
+    return jnp.swapaxes(y, -1, -2)
+
+
+def _shard_body(xr, xi, *, axis_name: str, prec, direct_max: int,
+                fold: bool, negate: bool) -> jnp.ndarray:
+    """Per-shard schedule: row DFT -> all_to_all -> col DFT -> all_to_all.
 
     Shapes (per shard, P = axis size): xr/xi (..., N/P, N); returns
-    (..., N/P, N) — the real field, row-sharded like the input.
-    """
-    # Row pass: full complex DFT along the last axis. W is replicated.
-    ar = jnp.matmul(xr, wr, precision=prec) - jnp.matmul(xi, wi, precision=prec)
-    ai = jnp.matmul(xr, wi, precision=prec) + jnp.matmul(xi, wr, precision=prec)
+    (..., N/P, N) — the real field, row-sharded like the input."""
+    ar, ai = _row_pass(xr, xi, prec, direct_max, fold)
 
     # Transpose: row-bands -> column-bands. tiled=True keeps the block
     # layout (split the last axis across chips, concat the row axis).
@@ -48,9 +96,7 @@ def _local_ifft2_real(xr, xi, wr, wi, axis_name: str, prec) -> jnp.ndarray:
     a2i = jax.lax.all_to_all(ai, axis_name, split_axis=ai.ndim - 1,
                              concat_axis=ai.ndim - 2, tiled=True)
 
-    # Col pass from the left, real output only: Re(W @ A) on the local
-    # (..., N, N/P) column band.
-    fr = jnp.matmul(wr, a2r, precision=prec) - jnp.matmul(wi, a2i, precision=prec)
+    fr = _col_pass_real(a2r, a2i, prec, direct_max, fold, negate)
 
     # Back to row-sharded so the caller's layout is unchanged.
     return jax.lax.all_to_all(fr, axis_name, split_axis=fr.ndim - 2,
@@ -62,27 +108,42 @@ def ifft2_real_unnorm_sharded(
     xi: jnp.ndarray,
     mesh: Mesh,
     axis_name: str = "row",
-    precision: str = "high",
+    direct_max: int = 1024,
+    precision: str = "bf16x3",
+    centered: Optional[str] = None,
+    leading_axes: Optional[Sequence[Optional[str]]] = None,
 ) -> jnp.ndarray:
     """Row-sharded real-output unnormalized 2-D inverse DFT.
+
+    The distributed twin of ``ops.fft.ifft2_real_unnorm`` — same math, same
+    precision tiers, same ``centered`` sign folding; the only difference is
+    the pinned all_to_all transpose between the two axis passes.
 
     Args:
         xr, xi: float32 (..., N, N) spectrum planes, sharded along the
             second-to-last axis over ``axis_name``.
+        precision: any tier from ``ops.fft`` — including the explicit-split
+            "bf16x3"/"bf16x4" (resolved in the local matmuls, not passed
+            raw to XLA).
+        centered: None for the plain transform; "ref" / "canonical" folds
+            the (-1)^(x+y) centering fix-up (``shader/correction.comp:29``)
+            into the DFT tables for free.
+        leading_axes: mesh-axis names (or None) for each leading batch dim
+            of ``xr`` (everything before the trailing (N, N)); defaults to
+            fully replicated leading dims.
     Returns:
         float32 (..., N, N) real field, identically sharded.
     """
-    n = xr.shape[-1]
-    wr, wi = dft_matrices(n, sign=1)
+    if centered not in (None, "ref", "canonical"):
+        raise ValueError(f"centered must be None|'ref'|'canonical', got {centered!r}")
     prec = resolve_precision(precision)
-
     ndim = xr.ndim
-    row_spec = P(*([None] * (ndim - 2)), axis_name, None)
-    body = functools.partial(_local_ifft2_real, axis_name=axis_name, prec=prec)
-    fn = shard_map(
-        lambda a, b, c, d: body(a, b, c, d),
-        mesh=mesh,
-        in_specs=(row_spec, row_spec, P(None, None), P(None, None)),
-        out_specs=row_spec,
-    )
-    return fn(xr, xi, wr, wi)
+    lead = list(leading_axes) if leading_axes is not None else [None] * (ndim - 2)
+    if len(lead) != ndim - 2:
+        raise ValueError(f"leading_axes has {len(lead)} entries for {ndim - 2} leading dims")
+    spec = P(*lead, axis_name, None)
+    body = functools.partial(
+        _shard_body, axis_name=axis_name, prec=prec, direct_max=direct_max,
+        fold=centered is not None, negate=centered == "ref")
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+    return fn(xr, xi)

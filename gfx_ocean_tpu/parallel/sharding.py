@@ -64,7 +64,42 @@ def shard_state(state: OceanState, mesh: Mesh) -> OceanState:
     )
 
 
-def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True):
+def _make_shard_map_ifft2(config: OceanConfig, mesh: Mesh, batched: bool):
+    """The explicit-collective transform as a drop-in ``step(ifft2=...)``.
+
+    Derives the leading-dim sharding per call: the dim immediately before
+    the (N, N) grid dims is the batch dim when ``batched`` (present in both
+    the (3, batch, N, N) stacked-spectra call and the (batch, N, N)
+    height-only call of the choppy-precision split); any spectra-stack dim
+    ahead of it is replicated.
+    """
+    from gfx_ocean_tpu.parallel.distributed_fft import (  # noqa: PLC0415
+        ifft2_real_unnorm_sharded)
+
+    def ifft2(xr, xi, precision, centered):
+        lead = [None] * (xr.ndim - 2)
+        if batched and lead:
+            lead[-1] = "batch"
+        return ifft2_real_unnorm_sharded(
+            xr, xi, mesh, axis_name="row",
+            direct_max=config.direct_dft_max, precision=precision,
+            centered=centered, leading_axes=lead)
+
+    return ifft2
+
+
+def _resolve_fft(config: OceanConfig, mesh: Mesh, batched: bool, fft: str):
+    if fft == "gspmd":
+        return None
+    if fft == "shard_map":
+        if config.fft_impl == "pallas":
+            raise ValueError("fft='shard_map' applies to the matmul/xla paths")
+        return _make_shard_map_ifft2(config, mesh, batched)
+    raise ValueError(f"fft must be 'gspmd' or 'shard_map', got {fft!r}")
+
+
+def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True,
+                      fft: str = "gspmd"):
     """Jitted ``step`` with mesh shardings on inputs and outputs.
 
     The step body is the same pure function as single-chip; XLA/GSPMD
@@ -72,7 +107,12 @@ def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True):
     col pass local) and the elementwise passes for free. The spectrum flip
     ``h0[::-1, ::-1]`` (propagate pairing) becomes a ppermute across the
     "row" axis, inserted automatically.
+
+    ``fft="shard_map"`` swaps the implicit GSPMD transform for the
+    hand-scheduled distributed FFT (``parallel/distributed_fft.py``) —
+    pinned all_to_all transposes, same numerics.
     """
+    ifft2 = _resolve_fft(config, mesh, batched, fft)
     specs = state_specs(batched)
     field_spec = (P("batch", "row", None, None) if batched
                   else P("row", None, None))
@@ -83,7 +123,7 @@ def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True):
                     None)
 
     def fn(state: OceanState, t):
-        return step(state, t, config)
+        return step(state, t, config, ifft2=ifft2)
 
     # Outputs: displacement (..., N, N, 3), normals (..., N, N, 3),
     # foam (..., N, N) — shard rows, replicate channels.
@@ -100,7 +140,7 @@ def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True):
 
 
 def make_sharded_rollout(config: OceanConfig, mesh: Mesh, batched: bool = True,
-                         time_batch: int = 1):
+                         time_batch: int = 1, fft: str = "gspmd"):
     """Device-resident scan rollout with mesh-sharded state.
 
     The multi-chip counterpart of ``models.make_rollout`` (checksum mode):
@@ -118,12 +158,13 @@ def make_sharded_rollout(config: OceanConfig, mesh: Mesh, batched: bool = True,
 
     from gfx_ocean_tpu.ops.propagate import precompute_propagate  # noqa: PLC0415
 
+    ifft2 = _resolve_fft(config, mesh, batched, fft)
     specs = state_specs(batched)
     state_sharding = OceanState(h0=NamedSharding(mesh, specs.h0),
                                 omega=NamedSharding(mesh, specs.omega))
 
     def one(state, t, pre):
-        fields = step(state, t, config, pre=pre)
+        fields = step(state, t, config, pre=pre, ifft2=ifft2)
         out = jnp.sum(fields.displacement, dtype=jnp.float32)
         if fields.normals is not None:
             out = out + jnp.sum(fields.normals, dtype=jnp.float32)

@@ -95,6 +95,77 @@ def test_distributed_fft_batched(rng, mesh8):
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
 
 
+def test_distributed_fft_four_step(rng, mesh8):
+    """direct_max below N forces the four-step split inside the shard body
+    (O(N) tables instead of a replicated dense W)."""
+    n = 128
+    x = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    xr = jnp.asarray(np.real(x), dtype=jnp.float32)
+    xi = jnp.asarray(np.imag(x), dtype=jnp.float32)
+    got = np.asarray(jax.jit(
+        lambda a, b: ifft2_real_unnorm_sharded(a, b, mesh8, precision="highest",
+                                               direct_max=32)
+    )(xr, xi))
+    want = np.real(np.fft.ifft2(x) * n * n)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+@pytest.mark.parametrize("centered", ["ref", "canonical"])
+def test_distributed_fft_centered_matches_single_chip(rng, mesh8, centered):
+    """The folded centering sign agrees with the single-chip transform."""
+    from gfx_ocean_tpu.ops.fft import ifft2_real_unnorm
+
+    n = 64
+    x = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    xr = jnp.asarray(np.real(x), dtype=jnp.float32)
+    xi = jnp.asarray(np.imag(x), dtype=jnp.float32)
+    got = np.asarray(jax.jit(
+        lambda a, b: ifft2_real_unnorm_sharded(a, b, mesh8, precision="highest",
+                                               centered=centered)
+    )(xr, xi))
+    want = np.asarray(ifft2_real_unnorm(xr, xi, precision="highest",
+                                        centered=centered))
+    np.testing.assert_allclose(got, want, atol=1e-3 * np.abs(want).max(), rtol=0)
+
+
+def test_distributed_fft_explicit_split_precision(rng, mesh8):
+    """The bf16x3/bf16x4 tiers resolve inside the shard body (they used to
+    crash jnp.matmul with a raw string)."""
+    n = 64
+    x = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    xr = jnp.asarray(np.real(x), dtype=jnp.float32)
+    xi = jnp.asarray(np.imag(x), dtype=jnp.float32)
+    want = np.real(np.fft.ifft2(x) * n * n)
+    for precision in ("bf16x3", "bf16x4"):
+        got = np.asarray(jax.jit(
+            lambda a, b, p=precision: ifft2_real_unnorm_sharded(
+                a, b, mesh8, precision=p))(xr, xi))
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_sharded_step_shard_map_fft(rng, mesh8):
+    """step() with the explicit-collective FFT == single-device step."""
+    cfg = OceanConfig(resolution=64, compute_normals=True)
+    state = _rand_state(rng, 64, batch=2)
+    want = make_step(cfg)(state, jnp.float32(2.5))
+    got = make_sharded_step(cfg, mesh8, fft="shard_map")(
+        shard_state(state, mesh8), jnp.float32(2.5))
+    np.testing.assert_allclose(np.asarray(got.displacement),
+                               np.asarray(want.displacement), atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.normals),
+                               np.asarray(want.normals), atol=1e-4, rtol=0)
+
+
+def test_sharded_rollout_shard_map_fft(rng, mesh8):
+    cfg = OceanConfig(resolution=64, compute_normals=False)
+    state = _rand_state(rng, 64, batch=2)
+    ts = jnp.arange(4, dtype=jnp.float32) * 0.25
+    a = np.asarray(make_sharded_rollout(cfg, mesh8, fft="shard_map")(
+        shard_state(state, mesh8), ts))
+    b = np.asarray(make_sharded_rollout(cfg, mesh8)(shard_state(state, mesh8), ts))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)
+
+
 def test_sharded_rollout_matches_single_device(rng, mesh8):
     from gfx_ocean_tpu import make_rollout
 

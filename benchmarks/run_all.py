@@ -91,10 +91,11 @@ def main() -> None:
     sps = _throughput(ot.make_rollout(cfg4, keep_fields=False), st_casc, ts4)
     report["configs"]["4_3cascade_512_foam"] = {"steps_per_sec": round(sps, 1)}
 
-    # config 5: 4096^2 + a rendered frame. Height at 'high' (rel 5.2e-5);
-    # the choppy XZ offsets at bf16 (visual LOD; they are /3.5 screen offsets)
+    # config 5: 4096^2 + a rendered frame. UNIFORM precision: Hermitian
+    # field packing (auto at this N) beats real-time without the former
+    # choppy-LOD split (height rel L-inf 4.6e-5 vs float64 golden).
     cfg5 = ot.OceanConfig(resolution=4096, domain_size=2000.0,
-                          matmul_precision="high", choppy_precision="default")
+                          matmul_precision="high")
     st4096 = ocean_state_from_phillips(cfg5, PhillipsConfig())
     ts5 = jnp.arange(30 if args.quick else 60, dtype=jnp.float32) * dt
     sps = _throughput(ot.make_rollout(cfg5, keep_fields=False), st4096, ts5,

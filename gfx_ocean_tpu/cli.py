@@ -32,6 +32,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fft-impl", choices=("matmul", "xla", "pallas"), default="matmul")
     p.add_argument("--precision", choices=("bf16x3", "bf16x4", "highest", "high", "default"), default="bf16x3")
     p.add_argument("--cascades", type=int, default=1)
+    p.add_argument("--pack", dest="pack", action="store_true", default=None,
+                   help="Hermitian field packing (3 fields from 2 transforms); "
+                        "default: auto (on for resolution >= 1024)")
+    p.add_argument("--no-pack", dest="pack", action="store_false")
     p.add_argument("--normals", action="store_true", default=True)
     p.add_argument("--no-normals", dest="normals", action="store_false")
     p.add_argument("--foam", action="store_true")
@@ -61,6 +65,7 @@ def _build(args):
         domain_size=args.domain_size,
         fft_impl=args.fft_impl,
         matmul_precision=args.precision,
+        hermitian_pack=args.pack,
         num_cascades=args.cascades,
         compute_normals=args.normals,
         compute_foam=args.foam,

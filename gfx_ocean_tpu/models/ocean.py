@@ -26,10 +26,12 @@ import numpy as np
 
 from gfx_ocean_tpu.config import OceanConfig, PhillipsConfig
 from gfx_ocean_tpu.ops.derived import finite_difference_normals, jacobian_foam
-from gfx_ocean_tpu.ops.fft import ifft2_real_unnorm
+from gfx_ocean_tpu.ops.fft import ifft2_planes_unnorm, ifft2_real_unnorm
 from gfx_ocean_tpu.ops.propagate import (
     precompute_propagate,
+    precompute_propagate_packed,
     propagate_from_cs,
+    propagate_packed_planes,
     propagate_planes_pre,
 )
 from gfx_ocean_tpu.utils.complexpair import to_pair
@@ -88,6 +90,39 @@ def _fields_from_specs(specs_r: jax.Array, specs_i: jax.Array,
     return jnp.stack([fields[1], fields[0], fields[2]], axis=-1)
 
 
+def _precompute(state: OceanState, config: OceanConfig):
+    """The rollout-hoistable time-invariant planes for the active path."""
+    if config.fft_impl == "pallas":
+        return None
+    if config.hermitian_pack:
+        return precompute_propagate_packed(state.h0, state.omega, config.compat)
+    return precompute_propagate(state.h0, config.compat)
+
+
+def _fields_packed(state: OceanState, t: jax.Array, config: OceanConfig,
+                   pre) -> jax.Array:
+    """Packed-transform step body: 3 fields from 2 transforms.
+
+    The height field rides its own real-output Hermitian transform (at
+    ``matmul_precision``); the two choppy fields share one complex
+    transform of Z = H_dx + i*H_dz (at ``choppy_precision`` when set) —
+    see ``ops/propagate.propagate_packed_planes``.
+    """
+    pre_planes, pre_rho, omega_rho = pre
+    h_r, h_i, z_r, z_i = propagate_packed_planes(
+        pre_planes, pre_rho, state.omega, omega_rho, t,
+        config.domain_size, config.compat)
+    centered = "ref" if config.compat.ref_sign else "canonical"
+    height = ifft2_real_unnorm(
+        h_r, h_i, impl=config.fft_impl, direct_max=config.direct_dft_max,
+        precision=config.matmul_precision, centered=centered)
+    choppy_prec = config.choppy_precision or config.matmul_precision
+    dxf, dzf = ifft2_planes_unnorm(
+        z_r, z_i, impl=config.fft_impl, direct_max=config.direct_dft_max,
+        precision=choppy_prec, centered=centered)
+    return jnp.stack([dxf, height, dzf], axis=-1)
+
+
 def step(state: OceanState, t: jax.Array, config: OceanConfig,
          pre: Optional[jax.Array] = None, ifft2=None) -> OceanFields:
     """One simulation frame: propagate -> 2D iFFT x3 -> correction (+ extras).
@@ -110,8 +145,12 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig,
         else:  # leading batch axes (cascades): map the fused kernel
             disp = jax.vmap(lambda h, o: pallas_fields(h, o, t, config))(
                 state.h0, state.omega)
-    else:
+    elif config.hermitian_pack and ifft2 is None:
         if pre is None:
+            pre = _precompute(state, config)
+        disp = _fields_packed(state, t, config, pre)
+    else:
+        if pre is None or not isinstance(pre, jax.Array):
             pre = precompute_propagate(state.h0, config.compat)
         specs_r, specs_i = propagate_planes_pre(
             pre, state.omega, t, config.domain_size, config.compat)
@@ -185,8 +224,7 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
                 raise ValueError(
                     f"len(ts)={ts.shape[0]} not a multiple of time_batch={time_batch}")
             ts = ts.reshape(ts.shape[0] // time_batch, time_batch)
-        pre = (None if config.fft_impl == "pallas"
-               else precompute_propagate(state.h0, config.compat))
+        pre = _precompute(state, config)
         _, out = jax.lax.scan(body, (state, pre), ts)
         if time_batch > 1:
             # Flatten (chunks, batch, ...) back to a frame-major time axis.
@@ -225,6 +263,10 @@ def make_uniform_rollout(config: OceanConfig, steps: int, dt: float,
     if config.fft_impl == "pallas":
         raise ValueError("uniform rollout applies to the matmul/xla paths, "
                          "not pallas (its propagate is in-kernel)")
+    if config.hermitian_pack:
+        raise ValueError("uniform rollout does not support hermitian_pack; "
+                         "use make_rollout (phase recurrence is a net loss "
+                         "at large N anyway — see docstring)")
 
     def one_out(disp):
         normals = (finite_difference_normals(disp[..., 1], config.normal_height_scale)

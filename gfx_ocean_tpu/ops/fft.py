@@ -415,3 +415,54 @@ def ifft2_real_unnorm(
     ai = jnp.swapaxes(ai, -1, -2)
     y, _ = _foursteps_last(ar, ai, prec, real_out=True, out_alt=fold, negate=negate)
     return jnp.swapaxes(y, -1, -2)
+
+
+def ifft2_planes_unnorm(
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    impl: Impl = "matmul",
+    direct_max: int = 1024,
+    precision: str = "highest",
+    centered: str | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both planes of the unnormalized 2-D inverse DFT, from (re, im) planes.
+
+    The complex-output twin of :func:`ifft2_real_unnorm` (same folding
+    options). This is the transform under field packing (``models/ocean.py``
+    ``hermitian_pack``): two Hermitian-symmetrized spectra ride one complex
+    transform — Z = H1 + i*H2 has F(Z) = field1 + i*field2 with both planes
+    exactly the real fields — so one (yr, yi) pair carries two outputs.
+    """
+    prec = resolve_precision(precision)
+    if centered not in (None, "ref", "canonical"):
+        raise ValueError(f"centered must be None|'ref'|'canonical', got {centered!r}")
+    fold = centered is not None
+    negate = centered == "ref"
+    if impl == "xla":
+        m, n = xr.shape[-2], xr.shape[-1]
+        y = jnp.fft.ifftn(jax.lax.complex(xr, xi), axes=(-2, -1)) * (m * n)
+        yr, yi = jnp.real(y), jnp.imag(y)
+        if fold:
+            from gfx_ocean_tpu.ops.derived import correction_sign  # noqa: PLC0415
+
+            sign = correction_sign(n, ref_sign=negate)
+            yr, yi = yr * sign, yi * sign
+        return yr, yi
+    n = xr.shape[-1]
+    if n <= direct_max:
+        ar, ai = _direct_last(xr, xi, prec, real_out=False, out_alt=fold)
+    else:
+        ar, ai = _foursteps_last(xr, xi, prec, real_out=False, out_alt=fold)
+    m = xr.shape[-2]
+    if m <= direct_max:
+        if fold:
+            wr, wi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(m, 1, 0, negate))
+        else:
+            wr, wi = dft_matrices(m, sign=1)
+        yr = _mm(wr, ar, prec) - _mm(wi, ai, prec)
+        yi = _mm(wr, ai, prec) + _mm(wi, ar, prec)
+        return yr, yi
+    ar = jnp.swapaxes(ar, -1, -2)
+    ai = jnp.swapaxes(ai, -1, -2)
+    yr, yi = _foursteps_last(ar, ai, prec, real_out=False, out_alt=fold, negate=negate)
+    return jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2)

@@ -173,6 +173,96 @@ def propagate_from_cs(
     return specs_r, specs_i
 
 
+def roll_flip(x: jnp.ndarray) -> jnp.ndarray:
+    """The DFT-index negation gather rho: y[i, j] = x[(-i) mod N, (-j) mod N]
+    over the last two axes (reverse + roll-by-one; index 0 stays put).
+
+    This is the flip under which the transform conjugates:
+    F(conj(x o rho)) = conj(F(x)) — the identity behind Hermitian
+    symmetrization. NOT the same as the propagate pairing flip
+    ``[N-1-i]`` (``index_neg`` of shader/propagate.comp:48), which negates
+    the *centered* wavenumber 2i-N-1 instead of the DFT index.
+    """
+    return jnp.roll(x[..., ::-1, ::-1], shift=(1, 1), axis=(-2, -1))
+
+
+def precompute_propagate_packed(h0_pair: jnp.ndarray, omega: jnp.ndarray,
+                                compat: CompatFlags = CompatFlags()):
+    """Time-invariant planes for the Hermitian-symmetrized propagate.
+
+    Field packing (``models/ocean.py`` ``hermitian_pack``) needs, besides
+    the plain combination planes P1..P4, their rho-gathered twins Q1..Q4
+    and the rho-gathered dispersion (omega o rho != omega: omega is
+    symmetric under the *centered* flip [N-1-i], not under the DFT-index
+    flip rho). All are gathered once per rollout, never in the scan body.
+
+    Returns ``(pre, pre_rho, omega_rho)``.
+    """
+    pre = precompute_propagate(h0_pair, compat)
+    return pre, roll_flip(pre), roll_flip(omega)
+
+
+def propagate_packed_planes(
+    pre: jnp.ndarray,
+    pre_rho: jnp.ndarray,
+    omega: jnp.ndarray,
+    omega_rho: jnp.ndarray,
+    t: jnp.ndarray,
+    domain_size: float,
+    compat: CompatFlags = CompatFlags(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hermitian-symmetrized evolved spectra, packed for 2-for-1 transforms.
+
+    The step needs only Re(F(S)) per spectrum (``shader/correction.comp:31``
+    keeps the real component). With H = (S + conj(S o rho)) / 2 the identity
+    F(conj(S o rho)) = conj(F(S)) gives F(H) = Re(F(S)) EXACTLY — a
+    Hermitian input whose transform is real. Two such spectra then share
+    ONE complex transform: F(H_dx + i*H_dz) = dx_field + i*dz_field. That
+    cuts the per-frame transform work from 18 to 14 real matmul-stages
+    (the height field rides alone, keeping the ``choppy_precision`` split
+    available for the packed choppy pair).
+
+    conj(S o rho) evolves with the rho-gathered tables: S_rho_r/i are the
+    same elementwise combinations as S built from (Q1..Q4, cos/sin of
+    omega_rho * t), so the scan body stays gather-free.
+
+    Returns ``(h_r, h_i, z_r, z_i)``: the symmetrized height spectrum (its
+    transform is the real height field) and the packed Z = H_dx + i*H_dz.
+    """
+    n = pre.shape[-1]
+    phase = _phase_mod_2pi(omega, t)
+    c, s = jnp.cos(phase), jnp.sin(phase)
+    phase_rho = _phase_mod_2pi(omega_rho, t)
+    cq, sq = jnp.cos(phase_rho), jnp.sin(phase_rho)
+
+    sr = c * pre[0] + s * pre[1]       # S = evolved height spectrum
+    si = s * pre[2] + c * pre[3]
+    tr = cq * pre_rho[0] + sq * pre_rho[1]   # S o rho
+    ti = sq * pre_rho[2] + cq * pre_rho[3]
+
+    half = jnp.float32(0.5)
+    h_r = half * (sr + tr)
+    h_i = half * (si - ti)
+
+    kxn, kyn = wavenumber_grid(n, domain_size, compat.wrap_k)
+    # rho-gathered grids derived IN-GRAPH from the same host tables: baking
+    # them as separate literals doubles the uploaded program's constant
+    # payload (134 MB at 4096^2 — the compile tunnel rejects it with
+    # HTTP 413); a reverse+roll of the existing constant is free to ship
+    # and fuses into the elementwise consumers.
+    kxq, kyq = roll_flip(kxn), roll_flip(kyn)
+    # S_dx = -i k_hat_x S => planes (kx*si, -kx*sr); conj(S_dx o rho) =
+    # (kxq*ti, +kxq*tr). Same for dz with k_hat_y.
+    dx_r = half * (kxn * si + kxq * ti)
+    dx_i = half * (kxq * tr - kxn * sr)
+    dz_r = half * (kyn * si + kyq * ti)
+    dz_i = half * (kyq * tr - kyn * sr)
+    # Z = H_dx + i * H_dz
+    z_r = dx_r - dz_i
+    z_i = dx_i + dz_r
+    return h_r, h_i, z_r, z_i
+
+
 def propagate_planes(
     h0_pair: jnp.ndarray,
     omega: jnp.ndarray,

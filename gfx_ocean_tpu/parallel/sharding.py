@@ -94,6 +94,10 @@ def _resolve_fft(config: OceanConfig, mesh: Mesh, batched: bool, fft: str):
     if fft == "shard_map":
         if config.fft_impl == "pallas":
             raise ValueError("fft='shard_map' applies to the matmul/xla paths")
+        if config.hermitian_pack:
+            raise ValueError("fft='shard_map' does not support hermitian_pack "
+                             "yet; GSPMD (the default) partitions the packed "
+                             "path fine")
         return _make_shard_map_ifft2(config, mesh, batched)
     raise ValueError(f"fft must be 'gspmd' or 'shard_map', got {fft!r}")
 
@@ -156,7 +160,7 @@ def make_sharded_rollout(config: OceanConfig, mesh: Mesh, batched: bool = True,
     """
     import jax.numpy as jnp  # noqa: PLC0415
 
-    from gfx_ocean_tpu.ops.propagate import precompute_propagate  # noqa: PLC0415
+    from gfx_ocean_tpu.models.ocean import _precompute  # noqa: PLC0415
 
     ifft2 = _resolve_fft(config, mesh, batched, fft)
     specs = state_specs(batched)
@@ -181,8 +185,7 @@ def make_sharded_rollout(config: OceanConfig, mesh: Mesh, batched: bool = True,
     def rollout(state: OceanState, ts):
         if time_batch > 1:
             ts = ts.reshape(ts.shape[0] // time_batch, time_batch)
-        pre = (None if config.fft_impl == "pallas"
-               else precompute_propagate(state.h0, config.compat))
+        pre = _precompute(state, config)
         _, out = jax.lax.scan(body, (state, pre), ts)
         return out.reshape(-1)
 

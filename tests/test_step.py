@@ -186,3 +186,95 @@ def test_long_rollout_stability(reference_state):
     assert np.all(np.isfinite(heights))
     assert heights.max() < 4 * np.median(heights)
     assert heights.min() > np.median(heights) / 4
+
+
+# --- Hermitian field packing (3 fields from 2 transforms) -------------------
+
+@pytest.mark.parametrize("flags", [
+    CompatFlags(),                                             # defaults
+    CompatFlags(wrap_k=True, ref_sign=True, conj_neg=False),   # bit-parity
+    CompatFlags(wrap_k=False, ref_sign=False, conj_neg=True),  # canonical
+])
+def test_packed_step_matches_golden(reference_state, flags):
+    """hermitian_pack computes Re(F(S)) exactly (symmetrization identity)."""
+    cfg = OceanConfig(resolution=128, compat=flags, compute_normals=False,
+                      hermitian_pack=True, matmul_precision="highest")
+    st = _state(reference_state, 128)
+    t = 3.5
+    got = make_step(cfg)(st, jnp.float32(t))
+    want = golden_fields(from_pair_np(np.asarray(st.h0)), np.asarray(st.omega), t,
+                         cfg.domain_size, flags)
+    assert _linf_rel(got.displacement, want) < 1e-5
+
+
+@pytest.mark.parametrize("impl", ["matmul", "xla"])
+def test_packed_equals_unpacked(reference_state, impl):
+    cfg = OceanConfig(resolution=256, fft_impl=impl, compute_normals=True,
+                      matmul_precision="highest")
+    cfgp = dataclasses.replace(cfg, hermitian_pack=True)
+    st = _state(reference_state, 256)
+    a = make_step(cfg)(st, jnp.float32(11.25))
+    b = make_step(cfgp)(st, jnp.float32(11.25))
+    scale = np.abs(np.asarray(a.displacement)).max()
+    np.testing.assert_allclose(np.asarray(b.displacement),
+                               np.asarray(a.displacement),
+                               atol=1e-5 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(b.normals), np.asarray(a.normals),
+                               atol=1e-4, rtol=0)
+
+
+def test_packed_four_step_regime(reference_state):
+    """Packing composes with the four-step split (direct_max below N)."""
+    cfg = OceanConfig(resolution=256, compute_normals=False,
+                      hermitian_pack=True, direct_dft_max=64,
+                      matmul_precision="highest")
+    st = _state(reference_state, 256)
+    got = make_step(cfg)(st, jnp.float32(5.0))
+    want = golden_fields(from_pair_np(np.asarray(st.h0)), np.asarray(st.omega),
+                         5.0, cfg.domain_size, cfg.compat)
+    assert _linf_rel(got.displacement, want) < 1e-5
+
+
+def test_packed_choppy_precision_split(reference_state):
+    """choppy_precision still applies per-field under packing (height at
+    matmul_precision, the packed dx/dz pair at choppy_precision)."""
+    cfg = OceanConfig(resolution=128, compute_normals=False,
+                      hermitian_pack=True, matmul_precision="highest",
+                      choppy_precision="default")
+    st = _state(reference_state, 128)
+    got = make_step(cfg)(st, jnp.float32(2.0))
+    want = golden_fields(from_pair_np(np.asarray(st.h0)), np.asarray(st.omega),
+                         2.0, cfg.domain_size, cfg.compat)
+    # height at full precision; choppy fields allowed bf16-grade error
+    h_err = _linf_rel(got.displacement[..., 1], want[..., 1])
+    assert h_err < 1e-5
+    assert _linf_rel(got.displacement, want) < 0.05
+
+
+def test_packed_rollout_matches_step(reference_state):
+    cfg = OceanConfig(resolution=128, compute_normals=False,
+                      hermitian_pack=True)
+    st = _state(reference_state, 128)
+    ts = jnp.asarray([0.5, 1.0], dtype=jnp.float32)
+    traj = make_rollout(cfg, keep_fields=True)(st, ts)
+    single = make_step(cfg)(st, ts[1])
+    np.testing.assert_allclose(np.asarray(traj.displacement[1]),
+                               np.asarray(single.displacement),
+                               atol=1e-5, rtol=0)
+
+
+def test_packed_cascades(reference_state):
+    """Packing is elementwise over leading batch axes (cascade vmap-free)."""
+    cfg = OceanConfig(resolution=64, compute_normals=False, hermitian_pack=True,
+                      matmul_precision="highest")
+    st = _state(reference_state, 64)
+    batched = OceanState(h0=jnp.stack([st.h0, st.h0 * 0.5]),
+                         omega=jnp.stack([st.omega, st.omega]))
+    got = make_step(cfg)(batched, jnp.float32(1.5))
+    single = make_step(cfg)(st, jnp.float32(1.5))
+    np.testing.assert_allclose(np.asarray(got.displacement[0]),
+                               np.asarray(single.displacement),
+                               atol=1e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(got.displacement[1]),
+                               np.asarray(single.displacement) * 0.5,
+                               atol=1e-6, rtol=0)

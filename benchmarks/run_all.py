@@ -9,6 +9,13 @@ is the full matrix used to fill the README/BENCH tables:
   3. 1024^2 with runtime Phillips synthesis                [config 3]
   4. 3-cascade 3x512^2 with foam (vmap)                    [config 4]
   5. 4096^2 path + one rendered frame along a camera step  [config 5]
+  6. fused Pallas kernels (512^2 single-block, 1024^2 blocked)
+
+Measurement rules (same as bench.py / BASELINE.md): throughput is the
+MEDIAN of repeats over a device-resident scan with a forcing transfer;
+every throughput config also reports its accuracy (relative L-inf of one
+full step vs the float64 CPU golden) — a rate with broken numerics is
+meaningless.
 
 Usage: python benchmarks/run_all.py [--quick]
 """
@@ -29,12 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _throughput(rollout, state, ts, repeats=3):
     np.asarray(rollout(state, ts))
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         np.asarray(rollout(state, ts))
-        best = min(best, time.perf_counter() - t0)
-    return len(ts) / best
+        times.append(time.perf_counter() - t0)
+    return len(ts) / float(np.median(times))
 
 
 def main() -> None:
@@ -53,7 +60,25 @@ def main() -> None:
         downsample_state, ocean_state_from_assets, ocean_state_from_phillips)
     from gfx_ocean_tpu.utils.complexpair import from_pair_np
 
-    report = {"device": str(jax.devices()[0]), "configs": {}}
+    def accuracy(cfg, state, t=11.25, field=None):
+        """Relative L-inf of one step vs the float64 golden (height field
+        when ``field=1``; all three displacement channels otherwise)."""
+        import dataclasses
+
+        cfg1 = dataclasses.replace(cfg, compute_normals=False,
+                                   compute_foam=False)
+        disp = np.asarray(ot.make_step(cfg1)(state, jnp.float32(t)).displacement)
+        want = golden_fields(from_pair_np(np.asarray(state.h0)),
+                             np.asarray(state.omega), t, cfg.domain_size,
+                             cfg.compat)
+        if field is not None:
+            disp, want = disp[..., field], want[..., field]
+        return float(np.abs(disp - want).max() / np.abs(want).max())
+
+    report = {"device": str(jax.devices()[0]),
+              "rules": "median of repeats; forcing transfer; accuracy = one "
+                       "step rel L-inf vs float64 golden"}
+    configs = report["configs"] = {}
     steps = 100 if args.quick else 600
     dt = jnp.float32(1.0 / 60.0)
 
@@ -64,43 +89,64 @@ def main() -> None:
     disp = np.asarray(ot.make_step(cfg1)(st256, jnp.float32(11.25)).displacement)
     want = golden_fields(from_pair_np(np.asarray(st256.h0)), np.asarray(st256.omega),
                          11.25, cfg1.domain_size, cfg1.compat)
-    report["configs"]["1_256_height_only"] = {
+    configs["1_256_height_only"] = {
         "rel_linf_vs_golden": float(np.abs(disp - want).max() / np.abs(want).max()),
         "abs_linf_vs_golden": float(np.abs(disp - want).max()),
     }
 
-    # config 2: 512^2 full step rollout (the headline)
+    # config 2: 512^2 full step rollout (the headline; matches bench.py)
     cfg2 = ot.OceanConfig()
     ts = jnp.arange(steps, dtype=jnp.float32) * dt
     sps = _throughput(ot.make_rollout(cfg2, keep_fields=False, time_batch=4),
                       st512, ts)
-    report["configs"]["2_512_full_step"] = {"steps_per_sec": round(sps, 1)}
+    configs["2_512_full_step"] = {
+        "steps_per_sec": round(sps, 1),
+        "rel_linf_vs_golden": accuracy(cfg2, st512),
+    }
 
-    # config 3: 1024^2 Phillips synthesis
+    # config 3: 1024^2 Phillips synthesis (hermitian_pack auto-on at this N)
     cfg3 = ot.OceanConfig(resolution=1024, domain_size=1000.0)
     st1024 = ocean_state_from_phillips(cfg3, PhillipsConfig())
     ts3 = jnp.arange(min(steps, 200), dtype=jnp.float32) * dt
     sps = _throughput(ot.make_rollout(cfg3, keep_fields=False, time_batch=2),
                       st1024, ts3)
-    report["configs"]["3_1024_phillips"] = {"steps_per_sec": round(sps, 1)}
+    configs["3_1024_phillips"] = {
+        "steps_per_sec": round(sps, 1),
+        "rel_linf_vs_golden": accuracy(cfg3, st1024),
+        "hermitian_pack": cfg3.hermitian_pack,
+    }
 
     # config 4: 3-cascade 512^2 with foam
     cfg4 = ot.OceanConfig(resolution=512, num_cascades=3, compute_foam=True)
     st_casc = ocean_state_from_phillips(cfg4, PhillipsConfig())
     ts4 = jnp.arange(min(steps, 200), dtype=jnp.float32) * dt
     sps = _throughput(ot.make_rollout(cfg4, keep_fields=False), st_casc, ts4)
-    report["configs"]["4_3cascade_512_foam"] = {"steps_per_sec": round(sps, 1)}
+    # accuracy: cascade 0 (its domain == cfg.domain_size) vs golden
+    import dataclasses
+
+    from gfx_ocean_tpu.models.ocean import OceanState
+
+    casc0 = OceanState(h0=st_casc.h0[0], omega=st_casc.omega[0])
+    cfg4a = dataclasses.replace(cfg4, num_cascades=1, compute_foam=False)
+    configs["4_3cascade_512_foam"] = {
+        "steps_per_sec": round(sps, 1),
+        "rel_linf_vs_golden_cascade0": accuracy(cfg4a, casc0),
+    }
 
     # config 5: 4096^2 + a rendered frame. UNIFORM precision: Hermitian
     # field packing (auto at this N) beats real-time without the former
-    # choppy-LOD split (height rel L-inf 4.6e-5 vs float64 golden).
+    # choppy-LOD split.
     cfg5 = ot.OceanConfig(resolution=4096, domain_size=2000.0,
                           matmul_precision="high")
     st4096 = ocean_state_from_phillips(cfg5, PhillipsConfig())
     ts5 = jnp.arange(30 if args.quick else 60, dtype=jnp.float32) * dt
     sps = _throughput(ot.make_rollout(cfg5, keep_fields=False), st4096, ts5,
                       repeats=2)
-    entry = {"steps_per_sec": round(sps, 1)}
+    entry = {"steps_per_sec": round(sps, 1),
+             "hermitian_pack": cfg5.hermitian_pack,
+             "uniform_precision": cfg5.choppy_precision is None}
+    if not args.quick:
+        entry["rel_linf_vs_golden_height"] = accuracy(cfg5, st4096, field=1)
     try:
         from gfx_ocean_tpu.render import Camera, render_frame
 
@@ -116,7 +162,34 @@ def main() -> None:
         entry["render_finite"] = bool(np.all(np.isfinite(img)))
     except Exception as e:  # render is best-effort in this report
         entry["render_error"] = str(e)[:200]
-    report["configs"]["5_4096_interactive"] = entry
+    configs["5_4096_interactive"] = entry
+
+    # config 6: the fused Pallas kernels (single-block 512^2; row/col-blocked
+    # two-kernel pipeline at 1024^2 and for 512^2 @ highest).
+    pallas = {}
+    cfg6 = ot.OceanConfig(fft_impl="pallas", matmul_precision="bf16x3")
+    sps = _throughput(ot.make_rollout(cfg6, keep_fields=False, time_batch=4),
+                      st512, ts)
+    pallas["512_single_block"] = {
+        "steps_per_sec": round(sps, 1),
+        "rel_linf_vs_golden": accuracy(cfg6, st512),
+    }
+    cfg6h = ot.OceanConfig(fft_impl="pallas", matmul_precision="highest")
+    sps = _throughput(ot.make_rollout(cfg6h, keep_fields=False, time_batch=4),
+                      st512, ts)
+    pallas["512_highest_blocked"] = {
+        "steps_per_sec": round(sps, 1),
+        "rel_linf_vs_golden": accuracy(cfg6h, st512),
+    }
+    cfg6k = ot.OceanConfig(resolution=1024, fft_impl="pallas",
+                           matmul_precision="high", hermitian_pack=False)
+    sps = _throughput(ot.make_rollout(cfg6k, keep_fields=False, time_batch=2),
+                      st1024, ts3)
+    pallas["1024_blocked"] = {
+        "steps_per_sec": round(sps, 1),
+        "rel_linf_vs_golden": accuracy(cfg6k, st1024),
+    }
+    configs["6_pallas_fused"] = pallas
 
     print(json.dumps(report, indent=2))
 

@@ -84,17 +84,24 @@ _DIMS_NT = (((1,), (1,)), ((), ()))  # X @ A^T (contract both last axes)
 _DIMS_NN = (((1,), (0,)), ((), ()))  # A @ X
 
 
-def _khat_in_kernel(n: int, domain_size: float, wrap: bool):
+def _khat_in_kernel(n: int, domain_size: float, wrap: bool,
+                    rows: int | None = None, row_off=None):
     """Normalized centered wavenumbers from iotas.
 
     coord = pi*(2i - N - 1)/L (``shader/propagate.comp:45-52``); wrap=True
     replicates Q1's uint32 wraparound: adding 2**32 to the negative branch
     in f32 rounds to exactly float32(uint32 value) (both are round-to-
     nearest of the same exact integer).
+
+    ``rows``/``row_off`` carve out a (rows, n) band starting at absolute
+    row ``row_off`` (traced scalar) — the row-blocked kernel's view.
     """
+    rows = n if rows is None else rows
     # Mosaic iota must be integer-typed; cast to f32 afterwards.
-    ix = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1).astype(jnp.float32)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0).astype(jnp.float32)
+    if row_off is not None:
+        iy = iy + row_off.astype(jnp.float32)
     cx = 2.0 * ix - jnp.float32(n + 1)
     cy = 2.0 * iy - jnp.float32(n + 1)
     if wrap:
@@ -162,6 +169,145 @@ def _step_kernel(
     out_ref[2, :, :] = transform(khy * hi, -khy * hr)  # disp_z
 
 
+def _row_block_kernel(
+    t_ref,        # SMEM (1, 1) f32
+    h0_ref,       # VMEM (2, B, N) f32 — h0 plane row band
+    h0n_ref,      # VMEM (2, B, N) f32 — flipped planes row band
+    omega_ref,    # VMEM (B, N) f32
+    ar_ref,       # VMEM (N, N) f32 — Re(D_alt @ W), constant across the grid
+    ai_ref,       # VMEM (N, N) f32
+    y_ref,        # VMEM (3, 2, B, N) f32 — row-pass output (re, im) per spectrum
+    *,
+    n: int,
+    block: int,
+    domain_size: float,
+    wrap_k: bool,
+    ref_sign: bool,
+    conj_neg: bool,
+    precision: str,
+):
+    """Propagate + complex row pass for one band of ``block`` rows.
+
+    The reference's propagate dispatch and three row-FFT dispatches
+    (``src/render.rs:1123-1179``) fused per band; the evolved spectra never
+    touch HBM."""
+    dot = _make_dot(precision)
+    t = t_ref[0, 0]
+    phase = omega_ref[:, :] * t
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    h0r = h0_ref[0, :, :]
+    h0i = h0_ref[1, :, :]
+    h0nr = h0n_ref[0, :, :]
+    h0ni = h0n_ref[1, :, :]
+    if conj_neg:
+        h0ni = -h0ni
+    g = jnp.float32(-1.0 if ref_sign else 1.0)
+    hr = g * (c * (h0r + h0nr) + s * (h0ni - h0i))
+    hi = g * (s * (h0r - h0nr) + c * (h0i + h0ni))
+
+    row_off = pl.program_id(0) * block
+    khx, khy = _khat_in_kernel(n, domain_size, wrap_k, rows=block,
+                               row_off=jnp.int32(row_off))
+    awr = ar_ref[:, :]
+    awi = ai_ref[:, :]
+
+    def row(xr, xi, idx):
+        # Y = X @ (W D_alt) = X @ A^T (MXU transposes operands for free)
+        y_ref[idx, 0, :, :] = dot(xr, awr, _DIMS_NT) - dot(xi, awi, _DIMS_NT)
+        y_ref[idx, 1, :, :] = dot(xr, awi, _DIMS_NT) + dot(xi, awr, _DIMS_NT)
+
+    row(khx * hi, -khx * hr, 0)  # disp_x spectrum
+    row(hr, hi, 1)               # height
+    row(khy * hi, -khy * hr, 2)  # disp_z
+
+
+def _col_block_kernel(y_ref, ar_ref, ai_ref, out_ref, *, precision: str):
+    """Real-output column pass for one band of columns: Re(A @ Y_s)."""
+    dot = _make_dot(precision)
+    awr = ar_ref[:, :]
+    awi = ai_ref[:, :]
+    for idx in range(3):
+        out_ref[idx, :, :] = (dot(awr, y_ref[idx, 0, :, :], _DIMS_NN)
+                              - dot(awi, y_ref[idx, 1, :, :], _DIMS_NN))
+
+
+def _pick_blocks(n: int) -> tuple:
+    """(row_band, col_band) widths: tables (2 N^2 f32) dominate VMEM; keep
+    the streamed bands a small fraction so double-buffering fits beside
+    them. The column band is the block's LAST dim and must be a multiple
+    of 128 (Mosaic lane tiling); the row band is a second-to-last dim and
+    only needs divisibility by 8."""
+    return (128 if n <= 512 else 64), 128
+
+
+def _blocked_fields(h0_pair, omega, t_arr, h0n, awr, awi, config: OceanConfig,
+                    n: int, interpret: bool) -> jnp.ndarray:
+    """Two pipelined kernels when one block cannot hold the problem:
+    grid over row bands (propagate + row pass), then over column bands
+    (real-out column pass). The (3, 2, N, N) row-pass planes are the only
+    intermediate HBM traffic — the reference writes its three spectra to
+    device memory between every pass (``src/render.rs:1132-1231``)."""
+    block, cblock = _pick_blocks(n)
+    vmem_hint = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    row_kernel = functools.partial(
+        _row_block_kernel,
+        n=n, block=block,
+        domain_size=float(config.domain_size),
+        wrap_k=config.compat.wrap_k,
+        ref_sign=config.compat.ref_sign,
+        conj_neg=config.compat.conj_neg,
+        precision=config.matmul_precision,
+    )
+    vmem = pltpu.VMEM
+    y = pl.pallas_call(
+        row_kernel,
+        grid=(n // block,),
+        out_shape=jax.ShapeDtypeStruct((3, 2, n, n), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, block, n), lambda i: (0, i, 0), memory_space=vmem),
+            pl.BlockSpec((2, block, n), lambda i: (0, i, 0), memory_space=vmem),
+            pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=vmem),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=vmem),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((3, 2, block, n), lambda i: (0, 0, i, 0),
+                               memory_space=vmem),
+        interpret=interpret,
+        compiler_params=vmem_hint,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 12 * block * n * n,
+            bytes_accessed=(5 * block * n + 2 * n * n + 6 * block * n) * 4,
+            transcendentals=2 * block * n,
+        ),
+    )(t_arr, h0_pair, h0n, omega, awr, awi)
+
+    col_kernel = functools.partial(_col_block_kernel,
+                                   precision=config.matmul_precision)
+    planes = pl.pallas_call(
+        col_kernel,
+        grid=(n // cblock,),
+        out_shape=jax.ShapeDtypeStruct((3, n, n), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((3, 2, n, cblock), lambda j: (0, 0, 0, j),
+                         memory_space=vmem),
+            pl.BlockSpec((n, n), lambda j: (0, 0), memory_space=vmem),
+            pl.BlockSpec((n, n), lambda j: (0, 0), memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((3, n, cblock), lambda j: (0, 0, j),
+                               memory_space=vmem),
+        interpret=interpret,
+        compiler_params=vmem_hint,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 6 * cblock * n * n,
+            bytes_accessed=(6 * n * cblock + 2 * n * n + 3 * n * cblock) * 4,
+            transcendentals=0,
+        ),
+    )(y, awr, awi)
+    return planes
+
+
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
 def pallas_fields(
     h0_pair: jnp.ndarray,
@@ -173,20 +319,28 @@ def pallas_fields(
     """Fused step: (2, N, N) h0 planes + omega + t -> (N, N, 3) displacement.
 
     Equivalent to propagate + centered ifft2_real_unnorm + channel packing
-    (tested against both the jnp path and the CPU golden). N <= 512 keeps
-    the single block VMEM-resident (the 4096 path uses the blocked matmul
-    pipeline in ``ops/fft.py`` instead).
+    (tested against both the jnp path and the CPU golden). N <= 512 at
+    non-"highest" precision runs as ONE VMEM-resident kernel; N = 1024
+    (any tier) and 512@"highest" use the row/column-blocked two-kernel
+    pipeline (``_blocked_fields``). Larger N belongs to the four-step
+    matmul path in ``ops/fft.py``.
     """
     if h0_pair.ndim != 3:
         raise ValueError("pallas_fields takes a single unbatched state; vmap for cascades")
     n = h0_pair.shape[-1]
-    if n > 512:
-        raise ValueError(f"fused Pallas step supports N <= 512, got {n}")
+    if n > 1024:
+        raise ValueError(f"fused Pallas step supports N <= 1024, got {n}")
 
     # A = D_alt @ W: the y-half of the centering sign folded into rows.
     awr, awi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(n, 1, 0, False))
     h0n = h0_pair[:, ::-1, ::-1]
     t_arr = jnp.reshape(t.astype(jnp.float32), (1, 1))
+
+    single_block = n <= 512 and config.matmul_precision != "highest"
+    if not single_block:
+        planes = _blocked_fields(h0_pair, omega, t_arr, h0n, awr, awi,
+                                 config, n, interpret)
+        return jnp.moveaxis(planes, 0, -1)
 
     kernel = functools.partial(
         _step_kernel,

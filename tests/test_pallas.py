@@ -61,11 +61,42 @@ def test_pallas_dot3_accuracy(state128):
 
 
 def test_pallas_rejects_large_grid(state128):
-    cfg = ot.OceanConfig(resolution=1024, fft_impl="pallas")
-    h0 = jnp.zeros((2, 1024, 1024), jnp.float32)
-    om = jnp.zeros((1024, 1024), jnp.float32)
-    with pytest.raises(ValueError, match="N <= 512"):
+    cfg = ot.OceanConfig(resolution=2048, fft_impl="pallas")
+    h0 = jnp.zeros((2, 2048, 2048), jnp.float32)
+    om = jnp.zeros((2048, 2048), jnp.float32)
+    with pytest.raises(ValueError, match="N <= 1024"):
         pallas_fields(h0, om, jnp.float32(0.0), cfg, interpret=True)
+
+
+def test_pallas_blocked_multiband_matches_golden(reference_state):
+    """256^2 at 'highest' routes through the row/col-blocked two-kernel
+    pipeline with a 2-band grid; must match the golden like the single
+    kernel does."""
+    st = downsample_state(ot.ocean_state_from_assets(), 256)
+    cfg = ot.OceanConfig(resolution=256, fft_impl="pallas",
+                         matmul_precision="highest")
+    disp = np.asarray(pallas_fields(st.h0, st.omega, jnp.float32(3.25), cfg,
+                                    interpret=True))
+    want = golden_fields(from_pair_np(np.asarray(st.h0)),
+                         np.asarray(st.omega), 3.25, 1000.0, cfg.compat)
+    err = np.abs(disp - want).max() / np.abs(want).max()
+    assert err < 1e-5, f"blocked: {err:.2e}"
+
+
+def test_pallas_blocked_1024(reference_state):
+    """N=1024 (always blocked) against the jnp matmul path."""
+    rng = np.random.default_rng(7)
+    n = 1024
+    h0 = jnp.asarray(rng.standard_normal((2, n, n)).astype(np.float32) * 0.01)
+    om = jnp.asarray((np.abs(rng.standard_normal((n, n))) + 0.1).astype(np.float32))
+    st = ot.OceanState(h0=h0, omega=om)
+    cfg_p = ot.OceanConfig(resolution=n, fft_impl="pallas",
+                           matmul_precision="highest", compute_normals=False)
+    cfg_m = ot.OceanConfig(resolution=n, fft_impl="matmul", hermitian_pack=False,
+                           matmul_precision="highest", compute_normals=False)
+    a = np.asarray(pallas_fields(h0, om, jnp.float32(2.0), cfg_p, interpret=True))
+    b = np.asarray(ot.make_step(cfg_m)(st, jnp.float32(2.0)).displacement)
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-6
 
 
 def test_pallas_rejects_batched(state128):

@@ -53,6 +53,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--wind-dir", type=float, nargs=2, default=(1.0, 0.0))
     p.add_argument("--amplitude", type=float, default=3.0e-7)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=str, default=None, metavar="BATCH,ROW",
+                   help="run on a (batch, row) device mesh, e.g. --mesh 2,4: "
+                        "'batch' data-parallels cascades/patches, 'row' "
+                        "shards grid rows (distributed FFT over ICI)")
+    p.add_argument("--sharded-fft", choices=("gspmd", "shard_map"),
+                   default="gspmd",
+                   help="multi-chip FFT strategy: XLA-inserted collectives "
+                        "(gspmd) or the explicit shard_map four-step")
 
 
 def _build(args):
@@ -95,6 +103,59 @@ def _build(args):
     return config, phillips, state
 
 
+def _parse_mesh_arg(args):
+    """``--mesh B,R`` -> (batch, row) ints, or None when not given."""
+    if getattr(args, "mesh", None) is None:
+        return None
+    parts = args.mesh.split(",")
+    if len(parts) != 2:
+        raise SystemExit(f"--mesh wants BATCH,ROW (e.g. 2,4), got {args.mesh!r}")
+    try:
+        batch, row = int(parts[0]), int(parts[1])
+    except ValueError:
+        raise SystemExit(f"--mesh wants integers, got {args.mesh!r}") from None
+    if batch < 1 or row < 1:
+        raise SystemExit("--mesh axes must be >= 1")
+    return batch, row
+
+
+def _mesh_setup(args, config, state):
+    """Build the device mesh and shard (tiling for DP if needed).
+
+    Returns (mesh, state, batched). With ``batch > 1`` and an unbatched
+    state, the state is tiled into ``batch`` independent patches — the
+    multi-chip generalization of the reference's 4-instance patch draw
+    (``src/render.rs:518-559``); with cascades, the cascade dim is the
+    batch dim and must divide evenly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gfx_ocean_tpu.models.ocean import OceanState
+    from gfx_ocean_tpu.parallel.sharding import make_mesh, shard_state
+
+    batch, row = _parse_mesh_arg(args)
+    n_dev = len(jax.devices())
+    if batch * row > n_dev:
+        raise SystemExit(f"--mesh {batch},{row} wants {batch * row} devices; "
+                         f"only {n_dev} visible")
+    mesh = make_mesh(jax.devices()[: batch * row], batch=batch, row=row)
+    batched = state.h0.ndim == 4
+    if batched:
+        if state.h0.shape[0] % batch:
+            raise SystemExit(f"{state.h0.shape[0]} cascades not divisible by "
+                             f"mesh batch={batch}")
+    elif batch > 1:
+        state = OceanState(
+            h0=jnp.broadcast_to(state.h0, (batch, *state.h0.shape)),
+            omega=jnp.broadcast_to(state.omega, (batch, *state.omega.shape)))
+        batched = True
+    if config.resolution % row:
+        raise SystemExit(f"grid {config.resolution} not divisible by mesh "
+                         f"row={row}")
+    return mesh, shard_state(state, mesh), batched
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -121,9 +182,20 @@ def cmd_simulate(args) -> int:
         config, _, state = _build(args)
         t0 = args.t0
 
+    mesh_arg = _parse_mesh_arg(args)
+    if mesh_arg is not None:
+        from gfx_ocean_tpu.parallel.sharding import (
+            make_sharded_rollout, make_sharded_step)
+
+        mesh, state, batched = _mesh_setup(args, config, state)
+
     ts = t0 + np.arange(args.steps, dtype=np.float32) * args.dt
     if args.save_fields:
-        step = make_step(config)
+        if mesh_arg is not None:
+            step = make_sharded_step(config, mesh, batched=batched,
+                                     fft=args.sharded_fft)
+        else:
+            step = make_step(config)
         os.makedirs(args.save_fields, exist_ok=True)
         for i, t in enumerate(ts):
             out = step(state, jnp.float32(t))
@@ -131,7 +203,11 @@ def cmd_simulate(args) -> int:
                         out.displacement, out.normals, out.foam, t=float(t))
         print(f"saved {len(ts)} frames to {args.save_fields}")
     else:
-        rollout = make_rollout(config, keep_fields=False)
+        if mesh_arg is not None:
+            rollout = make_sharded_rollout(config, mesh, batched=batched,
+                                           fft=args.sharded_fft)
+        else:
+            rollout = make_rollout(config, keep_fields=False)
         sums = np.asarray(rollout(state, jnp.asarray(ts)))
         print(json.dumps({"frames": len(ts), "t0": float(t0),
                           "t1": float(ts[-1]), "checksums_head": sums[:5].tolist()}))
@@ -148,7 +224,17 @@ def cmd_bench(args) -> int:
     from gfx_ocean_tpu.utils.profiling import time_rollout, trace
 
     config, _, state = _build(args)
-    rollout = make_rollout(config, keep_fields=False, time_batch=args.time_batch)
+    mesh_arg = _parse_mesh_arg(args)
+    if mesh_arg is not None:
+        from gfx_ocean_tpu.parallel.sharding import make_sharded_rollout
+
+        mesh, state, batched = _mesh_setup(args, config, state)
+        rollout = make_sharded_rollout(config, mesh, batched=batched,
+                                       time_batch=args.time_batch,
+                                       fft=args.sharded_fft)
+    else:
+        rollout = make_rollout(config, keep_fields=False,
+                               time_batch=args.time_batch)
     ts = jnp.arange(args.steps, dtype=jnp.float32) * args.dt
     if args.trace_dir:
         with trace(args.trace_dir):
@@ -157,6 +243,9 @@ def cmd_bench(args) -> int:
         stats = time_rollout(rollout, state, ts, repeats=args.repeats)
     stats.update(resolution=config.resolution, fft_impl=config.fft_impl,
                  precision=config.matmul_precision, time_batch=args.time_batch)
+    if mesh_arg is not None:
+        stats.update(mesh={"batch": mesh_arg[0], "row": mesh_arg[1]},
+                     sharded_fft=args.sharded_fft)
     print(json.dumps(stats))
     return 0
 
@@ -182,7 +271,13 @@ def cmd_serve(args) -> int:
     config, _, state = _build(args)
     if state.h0.ndim != 3:
         raise SystemExit("serve uses a single cascade")
-    server = serve(state, config, host=args.host, port=args.port)
+    mesh = None
+    if _parse_mesh_arg(args) is not None:
+        if _parse_mesh_arg(args)[0] != 1:
+            raise SystemExit("serve renders one field; use --mesh 1,R")
+        mesh, state, _ = _mesh_setup(args, config, state)
+    server = serve(state, config, host=args.host, port=args.port, mesh=mesh,
+                   sharded_fft=args.sharded_fft)
     print(f"serving ocean frames on http://{args.host}:{args.port} "
           f"(/health /config /frame?t= /frame.png?t= /metrics)", file=sys.stderr)
     try:
@@ -227,7 +322,22 @@ def cmd_render(args) -> int:
     return 0
 
 
+def _honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu python -m gfx_ocean_tpu ...`` mean it.
+
+    The container's sitecustomize may import jax first and re-pin the
+    tunneled TPU platform; the user's env var is the intent (same trap as
+    ``__graft_entry__.dryrun_multichip`` — see .claude/skills/verify).
+    """
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None) -> int:
+    _honor_platform_env()
     parser = argparse.ArgumentParser(
         prog="gfx_ocean_tpu",
         description="TPU-native FFT ocean simulation (gfx-rs/gfx-ocean rebuilt for TPU)")

@@ -51,13 +51,22 @@ from gfx_ocean_tpu.utils.profiling import Ema
 class FrameService:
     """Engine wrapper: jitted step + serialization + metrics."""
 
-    def __init__(self, state: OceanState, config: OceanConfig):
+    def __init__(self, state: OceanState, config: OceanConfig, mesh=None,
+                 sharded_fft: str = "gspmd"):
         import dataclasses
 
         self.state = state
         self.config = config
         self.config_json = json.dumps(dataclasses.asdict(config))
-        self._step = make_step(config)
+        self.mesh = mesh
+        if mesh is not None:
+            from gfx_ocean_tpu.parallel.sharding import (  # noqa: PLC0415
+                make_sharded_step)
+
+            self._step = make_sharded_step(config, mesh, batched=False,
+                                           fft=sharded_fft)
+        else:
+            self._step = make_step(config)
         self._lock = threading.Lock()
         self.session = CameraSession()  # defined below; resolved at call time
         self.frames_served = 0
@@ -111,6 +120,8 @@ class FrameService:
             "latency_ema_sec": round(self.latency_ema.value, 6),
             "device": str(jax.devices()[0]),
             "resolution": self.config.resolution,
+            "mesh": (None if self.mesh is None else
+                     dict(zip(self.mesh.axis_names, self.mesh.devices.shape))),
         }
 
 
@@ -320,11 +331,13 @@ def _make_handler(service: FrameService):
 
 
 def serve(state: OceanState, config: OceanConfig, host: str = "127.0.0.1",
-          port: int = 8807) -> ThreadingHTTPServer:
+          port: int = 8807, mesh=None,
+          sharded_fft: str = "gspmd") -> ThreadingHTTPServer:
     """Start the frame server (returns it; call ``serve_forever`` or use
     the CLI which does). A warmup frame is computed first so the first
-    request does not pay the jit compile."""
-    service = FrameService(state, config)
+    request does not pay the jit compile. With ``mesh`` the step runs
+    row-sharded across the mesh (fields gather to host for serialization)."""
+    service = FrameService(state, config, mesh=mesh, sharded_fft=sharded_fft)
     service.fields(0.0)  # warmup: compile + first transfer
     server = ThreadingHTTPServer((host, port), _make_handler(service))
     server.service = service  # for tests/metrics access

@@ -96,3 +96,47 @@ def test_save_fields_npz(tmp_path):
     with np.load(p) as z:
         assert z["displacement"].shape == (4, 4, 3)
         assert float(z["t"]) == 1.0
+
+
+def test_cli_bench_mesh(capsys):
+    """VERDICT #6: `bench --mesh 2,4` runs on the 8-device CPU mesh."""
+    assert main(["bench", *BASE, "--steps", "4", "--repeats", "1",
+                 "--time-batch", "1", "--mesh", "2,4"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["steps_per_sec"] > 0
+    assert out["mesh"] == {"batch": 2, "row": 4}
+
+
+def test_cli_bench_mesh_shard_map(capsys):
+    assert main(["bench", *BASE, "--no-pack", "--steps", "2", "--repeats",
+                 "1", "--time-batch", "1", "--mesh", "1,8",
+                 "--sharded-fft", "shard_map"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["steps_per_sec"] > 0 and out["sharded_fft"] == "shard_map"
+
+
+def test_cli_simulate_mesh_matches_single_device(capsys):
+    assert main(["simulate", *BASE, "--steps", "3"]) == 0
+    single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["simulate", *BASE, "--steps", "3", "--mesh", "1,4"]) == 0
+    sharded = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # f32 checksum of a near-cancelling field sum; sharding reassociates
+    # the reduction, so agreement is order-of-reduction limited.
+    np.testing.assert_allclose(single["checksums_head"],
+                               sharded["checksums_head"], rtol=1e-3)
+
+
+def test_cli_simulate_mesh_save_fields(tmp_path, capsys):
+    d = str(tmp_path / "fields")
+    assert main(["simulate", *BASE, "--steps", "1", "--mesh", "1,4",
+                 "--save-fields", d]) == 0
+    with np.load(os.path.join(d, "frame_00000.npz")) as z:
+        assert z["displacement"].shape == (64, 64, 3)
+        assert np.isfinite(z["displacement"]).all()
+
+
+def test_cli_mesh_rejects_bad_shapes():
+    with pytest.raises(SystemExit):
+        main(["bench", *BASE, "--steps", "2", "--mesh", "3,5"])
+    with pytest.raises(SystemExit):
+        main(["bench", *BASE, "--steps", "2", "--mesh", "nope"])

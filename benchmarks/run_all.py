@@ -191,6 +191,40 @@ def main() -> None:
     }
     configs["6_pallas_fused"] = pallas
 
+    # config 7: sharded rollout (multi-chip surface). Real multi-chip
+    # hardware is not reachable from this host, so this is a CORRECTNESS
+    # record on the 8-device virtual CPU mesh (the gfx-backend-empty
+    # analog), not a throughput claim: it proves the --mesh product path
+    # runs the full rollout end-to-end under both FFT strategies. Scaling
+    # expectation on real ICI: the row axis splits each DFT matmul pass
+    # ~linearly with one all-to-all resharding per transform.
+    import subprocess
+
+    sharded = {}
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    for label, mesh_args in (
+            ("2x4_gspmd", ["--mesh", "2,4"]),
+            ("1x8_shard_map", ["--mesh", "1,8", "--sharded-fft",
+                               "shard_map", "--no-pack"])):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-m", "gfx_ocean_tpu", "bench",
+                 "--resolution", "256", "--steps", "8", "--repeats", "1",
+                 "--time-batch", "1", *mesh_args],
+                capture_output=True, text=True, timeout=600, env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                check=True)
+            rec = json.loads(out.stdout)
+            sharded[label] = {"ok": True, "mesh": rec["mesh"],
+                              "cpu_mesh_steps_per_sec": round(rec["steps_per_sec"], 1)}
+        except Exception as e:  # noqa: BLE001
+            sharded[label] = {"ok": False, "error": str(e)[:200]}
+    sharded["note"] = ("virtual 8-device CPU mesh; correctness record "
+                       "(multi-chip hardware unavailable), rates not "
+                       "comparable to TPU configs")
+    configs["7_sharded_rollout"] = sharded
+
     print(json.dumps(report, indent=2))
 
 

@@ -15,24 +15,39 @@ plane rasterize their visible part correctly. Perspective-correct
 interpolation of any vertex attribute is the normalized-lambda weighted
 sum; z comes from the same weights applied to clip z.
 
-Two coverage passes, both static-shape (the XLA-compatible formulation —
-no data-dependent loops):
- 1. scatter: every fully-in-front triangle gets samples^2 sample points
-    that snake row-major through its own screen bbox (covering any bbox
-    of AREA <= samples^2 — thin grazing slivers included); depth
-    scatter-mins into the z-buffer, then winners scatter their triangle
-    ID. Ties write arbitrarily (equal depth).
- 2. gather: triangles the budget cannot cover — screen bbox area above
-    samples^2, or any vertex behind the eye plane (unbounded bbox) — are
-    ranked by need and the top ``giants`` are edge-tested against every
-    pixel, in groups, merging depth + ID. On a displaced regular grid
-    only near-field cells qualify, so a modest K is exact.
- 3. deferred varyings: one per-pixel interpolation of uv/world from the
-    winning-ID image (scatter traffic is the TPU bottleneck; z+id is 2
-    scattered channels instead of 6).
+Two implementations share the same coverage predicate (edge tests) and
+therefore the same coverage/z output, plus common gather + deferred
+varying passes:
 
-Rendering is a verification path, not the benchmarked inner loop
-(BASELINE.json: rendering decoupled).
+``impl="pool"`` (default; the fast path). Scatter traffic is the TPU
+    bottleneck, and the window impl pays samples^2 scatter slots for
+    EVERY triangle even though most project to a few pixels (measured
+    512^2-scene sum of clamped bbox areas ~0.8M vs 33M fixed-budget
+    slots). The pool impl spends exactly one sample slot per pixel of
+    each triangle's viewport-clamped bbox: triangles sort by bbox area
+    (ascending), a prefix sum assigns each a contiguous slot range in a
+    static ``pool``, a segment-boundary scatter + cumsum maps each slot
+    back to its triangle, and each slot edge-tests one bbox pixel. One
+    packed int row (start/x0/y0/bw/id/area) and one packed f32 row (the
+    9 cross-product coefficients + clip z/w rows + det) per slot keep
+    the gather count at two. Triangles that don't fit (prefix sum past
+    the pool end — the LARGEST areas, by the ascending sort) spill to
+    the gather pass.
+``impl="window"`` (the original; kept as the golden reference for the
+    pool path). Every fully-in-front triangle gets samples^2 sample
+    points snaking row-major through its own screen bbox; bboxes larger
+    than the budget spill to the gather pass.
+
+Shared passes:
+ - gather: spilled triangles plus any triangle with a vertex behind the
+   eye plane (unbounded projected bbox) are ranked by need and the top
+   ``giants`` are edge-tested against every pixel, in groups, merging
+   depth + ID. Ties write arbitrarily (equal depth), in both impls.
+ - deferred varyings: one per-pixel interpolation of uv/world from the
+   winning-ID image (z+id is 2 scattered channels instead of 6).
+
+Rendering is decoupled from the benchmarked sim loop (BASELINE.json),
+but the pool impl is fast enough for interactive serving (serve.py).
 """
 
 from __future__ import annotations
@@ -69,6 +84,17 @@ _TRI_CHUNK = 4096   # scatter triangles per scan iteration — bounds memory
 _GIANT_GROUP = 32   # gather triangles per scan iteration
 
 
+@functools.lru_cache(maxsize=8)
+def _mesh_constants(mesh_resolution: int, num_patches: int):
+    """Host mesh build + device upload, once per mesh config. Rebuilding
+    the 66K-vertex grid and re-shipping ~1.3 MB of constants per frame
+    was a measured ~40% of the interactive frame time."""
+    mesh = build_grid(mesh_resolution, num_patches)
+    positions, uvs, tris = instantiate(mesh)
+    return (jnp.asarray(positions), jnp.asarray(uvs),
+            jnp.asarray(tris.astype(np.int32)))
+
+
 def _lambdas(v_clip, pnx, pny, pix_dims):
     """Homogeneous edge functions at pixels.
 
@@ -94,6 +120,289 @@ def _lambdas(v_clip, pnx, pny, pix_dims):
         return c0 * pnx + c1 * pny + c2
 
     return ev(0), ev(1), ev(2), det
+
+
+def _pixel_ndc(width: int, height: int):
+    """Pixel-center NDC coordinate rows for a (height, width) image."""
+    pnx = 2.0 * (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width - 1.0
+    pny = 2.0 * (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5) / height - 1.0
+    return pnx, pny
+
+
+def _giant_pass(clip, tris_all, score, z_img, id_img, width: int,
+                height: int, giants: int):
+    """Edge-test the ``giants`` highest-scored triangles against every
+    pixel, in groups of ``_GIANT_GROUP``, merging depth + ID into the
+    scatter pass's images. Non-positive scores are inert, and the group
+    loop has a DYNAMIC trip count (``lax.while_loop``): the sorted-by-
+    score group list stops at the last active group, so the common scene
+    (camera above the water, nothing crossing, no overflow) pays ~zero
+    here instead of ``giants/_GIANT_GROUP`` full-screen passes."""
+    t_count = tris_all.shape[0]
+    k_giants = min(giants, t_count)
+    if k_giants == 0:
+        return z_img, id_img
+    _, giant_ix = jax.lax.top_k(score, k_giants)
+    giant_ok = jnp.take(score, giant_ix) > 0
+    groups = -(-k_giants // _GIANT_GROUP)
+    gpad = groups * _GIANT_GROUP - k_giants
+    giant_ix = jnp.concatenate([giant_ix, jnp.zeros(gpad, giant_ix.dtype)])
+    giant_ok = jnp.concatenate([giant_ok, jnp.zeros(gpad, bool)])
+    giant_ix = giant_ix.reshape(groups, _GIANT_GROUP)
+    giant_ok = giant_ok.reshape(groups, _GIANT_GROUP)
+    n_active = jnp.sum(giant_ok.astype(jnp.int32))      # descending scores
+    groups_needed = (n_active + _GIANT_GROUP - 1) // _GIANT_GROUP
+    pnx_f, pny_f = _pixel_ndc(width, height)
+
+    def giant_group(zb, idb, ix, ok):
+        v_clip = clip[tris_all[ix]]                     # (G, 3, 4)
+        lam0, lam1, lam2, det = _lambdas(v_clip, pnx_f[None], pny_f[None], 2)
+        det = det[:, None, None]
+        denom = lam0 + lam1 + lam2                      # (G, H, W)
+        hit = ((lam0 * det >= 0) & (lam1 * det >= 0) & (lam2 * det >= 0)
+               & (denom * det > 0)) & ok[:, None, None]
+        lam_w = (lam0 * v_clip[:, None, None, 0, 3]
+                 + lam1 * v_clip[:, None, None, 1, 3]
+                 + lam2 * v_clip[:, None, None, 2, 3])
+        z = (lam0 * v_clip[:, None, None, 0, 2]
+             + lam1 * v_clip[:, None, None, 1, 2]
+             + lam2 * v_clip[:, None, None, 2, 2]) / jnp.where(
+                 lam_w == 0, 1.0, lam_w)
+        hit = hit & (z > -1.0) & (z < 1.0)
+        z_masked = jnp.where(hit, z, jnp.inf).astype(jnp.float32)
+
+        best = jnp.argmin(z_masked, axis=0)             # (H, W)
+        z_best = jnp.take_along_axis(z_masked, best[None], axis=0)[0]
+        win = z_best <= zb                              # inf where no hit
+        zb = jnp.where(win, z_best, zb)
+        idb = jnp.where(win, ix[best], idb)
+        return zb, idb
+
+    def cond(carry):
+        return carry[0] < groups_needed
+
+    def body(carry):
+        g, zb, idb = carry
+        ix = jax.lax.dynamic_index_in_dim(giant_ix, g, 0, keepdims=False)
+        ok = jax.lax.dynamic_index_in_dim(giant_ok, g, 0, keepdims=False)
+        zb, idb = giant_group(zb, idb, ix, ok)
+        return g + 1, zb, idb
+
+    _, z_img, id_img = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), z_img, id_img))
+    return z_img, id_img
+
+
+def _deferred_shade(displacement, world, clip, tris_all, uvs, z_img, id_img,
+                    camera_pos, width: int, height: int):
+    """Per-pixel varying reconstruction + fragment shading from the
+    winning-ID image. Perspective-correct uv/world via the same lambda
+    weights (uncovered pixels compute garbage from id 0 and are masked
+    by ``covered`` at the end)."""
+    covered = z_img != jnp.inf
+    pnx_f, pny_f = _pixel_ndc(width, height)
+    vt = tris_all[id_img]                               # (H, W, 3)
+    v_clip_pix = clip[vt]                               # (H, W, 3, 4)
+    lam0, lam1, lam2, _ = _lambdas(v_clip_pix, pnx_f, pny_f, 0)
+    denom = lam0 + lam1 + lam2
+    inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
+
+    def interp_pix(attr_table):                         # (V, A) -> (H, W, A)
+        a = attr_table[vt]                              # (H, W, 3, A)
+        return (lam0[..., None] * a[..., 0, :]
+                + lam1[..., None] * a[..., 1, :]
+                + lam2[..., None] * a[..., 2, :]) * inv_denom[..., None]
+
+    uv_img = interp_pix(uvs)
+    world_img = interp_pix(world)
+
+    color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
+                               world_img, camera_pos)
+    clear = jnp.asarray(sh.CLEAR_COLOR)
+    return jnp.where(covered[..., None], color, clear[None, None])
+
+
+def _auto_pool(width: int, height: int) -> int:
+    """Slot pool sized to ~3x the viewport area, floored at 2^19. Camera
+    sweeps at 480x280 measure p90 total bbox area = 423K and worst case
+    551K vs 2^19 = 524K; the overflow tail is by construction the few
+    LARGEST triangles, which the ``giants`` gather pass absorbs exactly.
+    Every per-slot op scales with the pool, so oversizing costs time;
+    undersizing only shifts work to the gather pass (never correctness,
+    up to its ``giants`` capacity — see ``pool_overflow``)."""
+    return 1 << max(19, (3 * width * height - 1).bit_length())
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "pool", "giants"))
+def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
+                    width: int, height: int, pool: int = 1 << 20,
+                    giants: int = 512):
+    """Exact-area pool rasterizer (see module docstring). Coverage and
+    depth are identical to ``_rasterize`` (the window impl) by
+    construction: both evaluate the same edge/denominator tests at the
+    same pixel centers; only the slot->pixel assignment differs."""
+    world, clip = _vertex_stage(displacement, positions, uvs, view_proj)
+    t_count = tris.shape[0]
+    spill = width * height
+
+    v_clip = clip[tris]                                 # (T, 3, 4)
+    w = v_clip[..., 3]
+    fully_front = jnp.all(w > 1e-6, axis=-1)
+    crossing = jnp.any(w > 1e-6, axis=-1) & ~fully_front
+
+    # Conservative frustum cull (valid for any w sign; see window impl).
+    def all_outside(c):
+        return jnp.all(c < -w, axis=-1) | jnp.all(c > w, axis=-1)
+
+    outside = (all_outside(v_clip[..., 0]) | all_outside(v_clip[..., 1])
+               | all_outside(v_clip[..., 2]))
+
+    # Viewport-clamped TIGHT integer bbox: pixel x can only hit if its
+    # center x+0.5 lies in [sx_min, sx_max] (the projected triangle is a
+    # subset of its screen extent for fully-front triangles), i.e.
+    # x in [ceil(sx_min - 0.5), floor(sx_max - 0.5)] — one pixel tighter
+    # per axis than floor(min)..floor(max) on most subpixel triangles,
+    # which dominate the slot total. Pixels excluded here fail the edge
+    # test by construction, so coverage is unchanged (the window impl
+    # snakes the looser unclamped bbox; offscreen/miss pixels are masked
+    # there — on-screen coverage is the same).
+    w_safe = jnp.where(fully_front[:, None], w, 1.0)
+    sx = (v_clip[..., 0] / w_safe * 0.5 + 0.5) * width
+    sy = (v_clip[..., 1] / w_safe * 0.5 + 0.5) * height
+    x0 = jnp.maximum(jnp.ceil(sx.min(-1) - 0.5), 0.0).astype(jnp.int32)
+    x1 = jnp.minimum(jnp.floor(sx.max(-1) - 0.5), width - 1.0).astype(jnp.int32)
+    y0 = jnp.maximum(jnp.ceil(sy.min(-1) - 0.5), 0.0).astype(jnp.int32)
+    y1 = jnp.minimum(jnp.floor(sy.max(-1) - 0.5), height - 1.0).astype(jnp.int32)
+    bw = jnp.maximum(x1 - x0 + 1, 0)
+    bh = jnp.maximum(y1 - y0 + 1, 0)
+    area = jnp.where(fully_front & ~outside, bw * bh, 0)
+
+    # Ascending area sort + prefix sum = slot ranges. Overflow (cum >
+    # pool) hits the LARGEST areas first — exactly the triangles the
+    # gather pass is built for.
+    order = jnp.argsort(area)
+    area_s = area[order]
+    cum = jnp.cumsum(area_s)
+    start = cum - area_s
+    n_zero = t_count - jnp.sum(area_s > 0)
+
+    # Packed per-triangle rows: one int gather + one f32 gather per slot.
+    # Bit-packing halves the int columns (every per-slot table read is a
+    # measured cost): [start, x0 | y0 << 16, bw | tri_id << bw_bits] as
+    # uint32, with the id/bw split sized statically from T and width.
+    id_bits = max(int(t_count - 1).bit_length(), 1)
+    bw_bits = 32 - id_bits
+    assert width < (1 << min(16, bw_bits)) and height < (1 << 16), (
+        "viewport too wide for the packed slot table at this mesh size")
+    itab = jnp.stack([start.astype(jnp.uint32),
+                      (x0[order] | (y0[order] << 16)).astype(jnp.uint32),
+                      (jnp.maximum(bw[order], 1).astype(jnp.uint32)
+                       | (order.astype(jnp.uint32) << bw_bits))], axis=1)
+    v3 = v_clip[..., (0, 1, 3)]                         # clip (x, y, w)
+    cr = jnp.cross(v3[:, (1, 2, 0), :], v3[:, (2, 0, 1), :])   # (T, 3, 3)
+    det = jnp.sum(cr[:, 0, :] * v3[:, 0, :], axis=-1)
+    ftab = jnp.concatenate([cr.reshape(t_count, 9), v_clip[..., 2],
+                            v_clip[..., 3], det[:, None]], axis=1)  # (T, 16)
+
+    # Slot -> sorted triangle: scatter a 1 at every segment start, then
+    # a running count. Zero-area triangles sort first and scatter
+    # nothing, so slot 0 belongs to the first nonzero-area triangle.
+    bmask = (area_s > 0) & (start < pool)
+    bidx = jnp.where(bmask, start, pool)                # pool = spill row
+    segd = jnp.zeros((pool + 1,), jnp.int32).at[bidx].add(1)
+    sorted_idx = jnp.clip(n_zero + jnp.cumsum(segd[:-1]) - 1, 0, t_count - 1)
+
+    # One packed-row gather per slot per table (gathers of contiguous
+    # rows are cheap; measured ~2 ms/M — it's the scatters that are not).
+    irow = itab[sorted_idx].T                           # (3, P) uint32
+    st = irow[0].astype(jnp.int32)
+    px0 = (irow[1] & 0xFFFF).astype(jnp.int32)
+    py0 = (irow[1] >> 16).astype(jnp.int32)
+    bws = (irow[2] & ((1 << bw_bits) - 1)).astype(jnp.int32)
+    tri_id = (irow[2] >> bw_bits).astype(jnp.int32)
+    # A slot is live iff it is below the covered prefix (segments are
+    # contiguous from 0, so no per-slot area test is needed).
+    total_covered = jnp.minimum(cum[-1] if t_count else 0, pool)
+    slot = jnp.arange(pool, dtype=jnp.int32)
+    valid = slot < total_covered
+    k = slot - st
+    # Row-major walk of the clamped bbox. f32 divide instead of integer
+    # div/mod: quotients are < 2^24 ints with >= 1/bw margin to the next
+    # integer (way above f32 ulp here), so floor is exact.
+    kf = k.astype(jnp.float32)
+    bwf = bws.astype(jnp.float32)
+    q = jnp.floor(kf / bwf)
+    px = px0 + (kf - q * bwf).astype(jnp.int32)
+    py = py0 + q.astype(jnp.int32)
+
+    frow = ftab[tri_id].T                               # (16, P)
+    pnx = 2.0 * (px.astype(jnp.float32) + 0.5) / width - 1.0
+    pny = 2.0 * (py.astype(jnp.float32) + 0.5) / height - 1.0
+    lam0 = frow[0] * pnx + frow[1] * pny + frow[2]
+    lam1 = frow[3] * pnx + frow[4] * pny + frow[5]
+    lam2 = frow[6] * pnx + frow[7] * pny + frow[8]
+    det_s = frow[15]
+    denom = lam0 + lam1 + lam2
+    hit = ((lam0 * det_s >= 0) & (lam1 * det_s >= 0) & (lam2 * det_s >= 0)
+           & (denom * det_s > 0)) & valid
+    lam_w = lam0 * frow[12] + lam1 * frow[13] + lam2 * frow[14]
+    z = (lam0 * frow[9] + lam1 * frow[10] + lam2 * frow[11]
+         ) / jnp.where(lam_w == 0, 1.0, lam_w)
+    hit = hit & (z > -1.0) & (z < 1.0)
+    z_masked = jnp.where(hit, z, jnp.inf).astype(jnp.float32)
+    flat = jnp.where(hit, py * width + px, spill)
+
+    zbuf = jnp.full((spill + 1,), jnp.inf, jnp.float32).at[flat].min(z_masked)
+    won = hit & (z_masked <= zbuf[flat])
+    idbuf = jnp.zeros((spill + 1,), jnp.int32).at[
+        jnp.where(won, flat, spill)].set(tri_id)
+    z_img = zbuf[:-1].reshape(height, width)
+    id_img = idbuf[:-1].reshape(height, width)
+
+    # Gather pass: eye-plane-crossing triangles (unbounded bbox) + pool
+    # overflow. Scores live in sorted space; map winners back via order.
+    score_s = jnp.where((crossing & ~outside)[order], jnp.inf,
+                        jnp.where((cum > pool) & (area_s > 0),
+                                  area_s.astype(jnp.float32), -1.0))
+    score = jnp.full((t_count,), -1.0, jnp.float32).at[order].set(score_s)
+    z_img, id_img = _giant_pass(clip, tris, score, z_img, id_img,
+                                width, height, giants)
+
+    img = _deferred_shade(displacement, world, clip, tris, uvs, z_img,
+                          id_img, camera_pos, width, height)
+    return img, z_img
+
+
+def pool_overflow(displacement, positions, uvs, tris, view_proj,
+                  width: int, height: int, pool: int | None = None) -> int:
+    """Diagnostic: how many visible triangles spill past the pool (each
+    must be absorbed by a gather-pass slot for exact coverage). Sized so
+    this is 0 for realistic scenes; tests assert it."""
+    _, clip = _vertex_stage(jnp.asarray(displacement), jnp.asarray(positions),
+                            jnp.asarray(uvs), jnp.asarray(view_proj))
+    v_clip = clip[jnp.asarray(tris)]
+    w = v_clip[..., 3]
+    fully_front = jnp.all(w > 1e-6, axis=-1)
+
+    def all_outside(c):
+        return jnp.all(c < -w, axis=-1) | jnp.all(c > w, axis=-1)
+
+    outside = (all_outside(v_clip[..., 0]) | all_outside(v_clip[..., 1])
+               | all_outside(v_clip[..., 2]))
+    w_safe = jnp.where(fully_front[:, None], w, 1.0)
+    sx = (v_clip[..., 0] / w_safe * 0.5 + 0.5) * width
+    sy = (v_clip[..., 1] / w_safe * 0.5 + 0.5) * height
+    x0 = jnp.maximum(jnp.ceil(sx.min(-1) - 0.5), 0.0)
+    x1 = jnp.minimum(jnp.floor(sx.max(-1) - 0.5), width - 1.0)
+    y0 = jnp.maximum(jnp.ceil(sy.min(-1) - 0.5), 0.0)
+    y1 = jnp.minimum(jnp.floor(sy.max(-1) - 0.5), height - 1.0)
+    area = jnp.where(fully_front & ~outside,
+                     jnp.maximum(x1 - x0 + 1, 0) * jnp.maximum(y1 - y0 + 1, 0),
+                     0.0)
+    pool = pool or _auto_pool(width, height)
+    cum = jnp.cumsum(jnp.sort(area))
+    return int(jnp.sum((cum > pool) & (jnp.sort(area) > 0)))
 
 
 @functools.partial(jax.jit,
@@ -184,13 +493,8 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
     # --- pass 3: gather for triangles the window cannot cover -------------
     # Need = screen bbox AREA above the sample budget, or any vertex
     # behind the eye plane (projected region unbounded — scored to the top
-    # unconditionally). Rank by need, test the top K per-pixel in groups
-    # of _GIANT_GROUP, merge by depth. Extra slots redo small triangles:
-    # no-ops under the same depth test. Lowering ``samples`` makes more
-    # triangles qualify — raise ``giants`` with it.
-    k_giants = min(giants, t_count)
-    groups = -(-k_giants // _GIANT_GROUP)
-
+    # unconditionally). Lowering ``samples`` makes more triangles
+    # qualify — raise ``giants`` with it.
     all_clip = clip[tris_all]                     # (T, 3, 4)
     aw = all_clip[..., 3]
     front = aw > 1e-6
@@ -218,71 +522,10 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
         crossing & ~outside, jnp.inf,
         jnp.where(fully_front & ~outside & overlaps & (area > budget),
                   area, -1.0))
-    _, giant_ix = jax.lax.top_k(score, k_giants)
-    giant_ok = jnp.take(score, giant_ix) > 0
-    gpad = groups * _GIANT_GROUP - k_giants
-    giant_ix = jnp.concatenate([giant_ix, jnp.zeros(gpad, giant_ix.dtype)])
-    giant_ok = jnp.concatenate([giant_ok, jnp.zeros(gpad, bool)])
-    giant_ix = giant_ix.reshape(groups, _GIANT_GROUP)
-    giant_ok = giant_ok.reshape(groups, _GIANT_GROUP)
-
-    pnx_f, pny_f = ndc_xy(jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5,
-                          jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5)
-
-    def giant_body(carry, group):
-        zb, idb = carry
-        ix, ok = group                                  # (G,), (G,)
-        v_clip = clip[tris_all[ix]]                     # (G, 3, 4)
-        lam0, lam1, lam2, det = _lambdas(v_clip, pnx_f[None], pny_f[None], 2)
-        det = det[:, None, None]
-        denom = lam0 + lam1 + lam2                      # (G, H, W)
-        hit = ((lam0 * det >= 0) & (lam1 * det >= 0) & (lam2 * det >= 0)
-               & (denom * det > 0)) & ok[:, None, None]
-        lam_w = (lam0 * v_clip[:, None, None, 0, 3]
-                 + lam1 * v_clip[:, None, None, 1, 3]
-                 + lam2 * v_clip[:, None, None, 2, 3])
-        z = (lam0 * v_clip[:, None, None, 0, 2]
-             + lam1 * v_clip[:, None, None, 1, 2]
-             + lam2 * v_clip[:, None, None, 2, 2]) / jnp.where(
-                 lam_w == 0, 1.0, lam_w)
-        hit = hit & (z > -1.0) & (z < 1.0)
-        z_masked = jnp.where(hit, z, jnp.inf).astype(jnp.float32)
-
-        best = jnp.argmin(z_masked, axis=0)             # (H, W)
-        z_best = jnp.take_along_axis(z_masked, best[None], axis=0)[0]
-        win = z_best <= zb                              # inf where no hit
-        zb = jnp.where(win, z_best, zb)
-        idb = jnp.where(win, ix[best], idb)
-        return (zb, idb), None
-
-    (z_img, id_img), _ = jax.lax.scan(
-        giant_body, (z_img, id_img), (giant_ix, giant_ok))
-
-    covered = z_img != jnp.inf
-
-    # --- pass 4: per-pixel varying reconstruction from the ID image -------
-    # Perspective-correct uv/world for each pixel's winning triangle, with
-    # the same lambda weights (uncovered pixels compute garbage from id 0
-    # and are masked by ``covered`` at the end).
-    vt = tris_all[id_img]                               # (H, W, 3)
-    v_clip_pix = clip[vt]                               # (H, W, 3, 4)
-    lam0, lam1, lam2, _ = _lambdas(v_clip_pix, pnx_f, pny_f, 0)
-    denom = lam0 + lam1 + lam2
-    inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
-
-    def interp_pix(attr_table):                         # (V, A) -> (H, W, A)
-        a = attr_table[vt]                              # (H, W, 3, A)
-        return (lam0[..., None] * a[..., 0, :]
-                + lam1[..., None] * a[..., 1, :]
-                + lam2[..., None] * a[..., 2, :]) * inv_denom[..., None]
-
-    uv_img = interp_pix(uvs)
-    world_img = interp_pix(world)
-
-    color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
-                               world_img, camera_pos)
-    clear = jnp.asarray(sh.CLEAR_COLOR)
-    img = jnp.where(covered[..., None], color, clear[None, None])
+    z_img, id_img = _giant_pass(clip, tris_all, score, z_img, id_img,
+                                width, height, giants)
+    img = _deferred_shade(displacement, world, clip, tris_all, uvs, z_img,
+                          id_img, camera_pos, width, height)
     return img, z_img
 
 
@@ -296,6 +539,8 @@ def render_frame(
     samples: int = 16,
     giants: int = 512,
     return_depth: bool = False,
+    impl: str = "pool",
+    pool: int | None = None,
 ):
     """Render one frame from a displacement map along a camera.
 
@@ -304,21 +549,72 @@ def render_frame(
             /3.0 and /3.5 visual scales of ``ocean.vert:22-23`` are applied
             here, in the vertex stage).
         camera: a ``render.camera.Camera`` (numpy, host-side).
+        impl: "pool" (fast exact-area path, default) or "window" (the
+            fixed-budget golden path; honors ``samples``).
+        pool: sample-slot pool size for impl="pool" (default: sized from
+            the viewport, ``_auto_pool``); must exceed the scene's total
+            clamped-bbox area minus what ``giants`` can absorb (see
+            ``pool_overflow``).
     Returns:
         (H, W, 3) float32 image (plus the depth buffer if requested).
     """
-    mesh = build_grid(mesh_resolution, num_patches)
-    positions, uvs, tris = instantiate(mesh)
+    positions, uvs, tris = _mesh_constants(mesh_resolution, num_patches)
     proj = perspective(width / height)
     view_proj = jnp.asarray((proj @ camera.view()).astype(np.float32))
-    img, depth = _rasterize(
-        jnp.asarray(displacement), jnp.asarray(positions), jnp.asarray(uvs),
-        jnp.asarray(tris.astype(np.int32)), view_proj,
-        jnp.asarray(camera.position.astype(np.float32)),
-        width, height, samples, giants)
+    args = (jnp.asarray(displacement), positions, uvs, tris, view_proj,
+            jnp.asarray(camera.position.astype(np.float32)))
+    if impl == "pool":
+        img, depth = _rasterize_pool(*args, width, height,
+                                     pool or _auto_pool(width, height),
+                                     giants)
+    elif impl == "window":
+        img, depth = _rasterize(*args, width, height, samples, giants)
+    else:
+        raise ValueError(f"impl must be 'pool' or 'window', got {impl!r}")
     if return_depth:
         return img, depth
     return img
+
+
+def make_frame_renderer(
+    config,
+    width: int = 480,
+    height: int = 280,
+    giants: int = 512,
+    pool: int | None = None,
+):
+    """One-dispatch interactive frame pipeline: step -> rasterize -> sRGB.
+
+    The serving loop's cost on a tunneled TPU is dominated by per-dispatch
+    round-trips and host<->device transfers; fusing the sim step and the
+    renderer into one jit removes the displacement download + re-upload
+    (N^2 x 3 f32) and one dispatch, and returning sRGB uint8 shrinks the
+    frame transfer 4x vs f32. This is the analog of the reference's
+    single command-buffer submission per frame (``src/render.rs:1122-1372``
+    records compute + draw into ONE submission).
+
+    Returns ``fn(state, t, view_proj, camera_pos) -> (H, W, 3) uint8``
+    where ``view_proj`` is the f32 (4, 4) projection @ view matrix
+    (host-computed, as ``render_frame`` does).
+    """
+    import functools as _ft
+
+    from gfx_ocean_tpu.models.ocean import step as _ocean_step  # noqa: PLC0415
+
+    positions, uvs, tris = _mesh_constants(config.mesh_resolution,
+                                           config.num_patches)
+
+    @_ft.partial(jax.jit, donate_argnums=())
+    def fn(state, t, view_proj, camera_pos):
+        fields = _ocean_step(state, t, config)
+        img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
+                                 view_proj, camera_pos, width, height,
+                                 pool or _auto_pool(width, height), giants)
+        # sRGB encode on device (matches the host-side conversion in
+        # serve.py / cli.py render: gamma 1/2.2, truncating cast).
+        return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(jnp.uint8)
+
+    return fn
 
 
 def render_frames(
@@ -330,6 +626,8 @@ def render_frames(
     num_patches: int = 4,
     samples: int = 16,
     giants: int = 512,
+    impl: str = "pool",
+    pool: int | None = None,
 ) -> jnp.ndarray:
     """Batched frame generation (BASELINE config 5): vmap the rasterizer
     over per-frame displacement maps and cameras.
@@ -342,16 +640,21 @@ def render_frames(
     Returns:
         (F, H, W, 3) float32 images.
     """
-    mesh = build_grid(mesh_resolution, num_patches)
-    positions, uvs, tris = instantiate(mesh)
+    positions, uvs, tris = _mesh_constants(mesh_resolution, num_patches)
     proj = perspective(width / height)
     view_projs = np.stack([(proj @ c.view()).astype(np.float32) for c in cameras])
     cam_pos = np.stack([c.position.astype(np.float32) for c in cameras])
 
-    f = jax.vmap(
-        lambda d, vp, cp: _rasterize(
-            d, jnp.asarray(positions), jnp.asarray(uvs),
-            jnp.asarray(tris.astype(np.int32)), vp, cp,
-            width, height, samples, giants)[0])
+    if impl == "pool":
+        pool = pool or _auto_pool(width, height)
+
+        def one(d, vp, cp):
+            return _rasterize_pool(d, positions, uvs, tris, vp, cp,
+                                   width, height, pool, giants)[0]
+    else:
+        def one(d, vp, cp):
+            return _rasterize(d, positions, uvs, tris, vp, cp,
+                              width, height, samples, giants)[0]
+    f = jax.vmap(one)
     return f(jnp.asarray(displacements), jnp.asarray(view_projs),
              jnp.asarray(cam_pos))

@@ -68,6 +68,7 @@ class FrameService:
         else:
             self._step = make_step(config)
         self._lock = threading.Lock()
+        self._renderers = {}  # (w, h, giants) -> fused step+render+sRGB jit
         self.session = CameraSession()  # defined below; resolved at call time
         self.frames_served = 0
         self.errors = 0
@@ -94,19 +95,44 @@ class FrameService:
         return buf.getvalue()
 
     def frame_png(self, t: float, width: int, height: int, samples: int,
-                  camera=None) -> bytes:
+                  camera=None, giants: int = 512) -> bytes:
         from PIL import Image  # noqa: PLC0415
 
-        from gfx_ocean_tpu.render import render_frame  # noqa: PLC0415
-        from gfx_ocean_tpu.render.camera import Camera  # noqa: PLC0415
+        from gfx_ocean_tpu.render.camera import Camera, perspective  # noqa: PLC0415
 
-        disp = self.fields(t)["displacement"]
-        img = np.asarray(render_frame(
-            disp, camera if camera is not None else Camera(),
-            width=width, height=height,
-            mesh_resolution=self.config.mesh_resolution,
-            num_patches=self.config.num_patches, samples=samples))
-        srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
+        camera = camera if camera is not None else Camera()
+        if self.mesh is None:
+            # Fast path: ONE fused dispatch (step -> rasterize -> sRGB on
+            # device) — the analog of the reference's single per-frame
+            # command-buffer submission (src/render.rs:1122-1372).
+            import jax.numpy as jnp  # noqa: PLC0415
+
+            from gfx_ocean_tpu.render.raster import make_frame_renderer  # noqa: PLC0415
+
+            key = (width, height, giants)
+            t0 = time.perf_counter()
+            with self._lock:
+                if key not in self._renderers:
+                    self._renderers[key] = make_frame_renderer(
+                        self.config, width=width, height=height,
+                        giants=giants)
+                view_proj = (perspective(width / height)
+                             @ camera.view()).astype(np.float32)
+                srgb = np.asarray(self._renderers[key](
+                    self.state, jnp.float32(t), jnp.asarray(view_proj),
+                    jnp.asarray(camera.position.astype(np.float32))))
+            self.latency_ema.update(time.perf_counter() - t0)
+            self.frames_served += 1
+        else:
+            from gfx_ocean_tpu.render import render_frame  # noqa: PLC0415
+
+            disp = self.fields(t)["displacement"]
+            img = np.asarray(render_frame(
+                disp, camera, width=width, height=height,
+                mesh_resolution=self.config.mesh_resolution,
+                num_patches=self.config.num_patches, samples=samples,
+                giants=giants))
+            srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(srgb).save(buf, format="PNG")
         return buf.getvalue()
@@ -183,6 +209,8 @@ class CameraSession:
                 "rotation": [round(float(v), 4) for v in self.camera.rotation],
                 "sim_time": round(self.sim_time, 4),
                 "frame_ema_sec": round(self.frame_ema.value, 6),
+                "fps": (round(1.0 / self.frame_ema.value, 2)
+                        if self.frame_ema.value > 0 else None),
                 "input": {"forward": self.camera.input.forward,
                           "rot_x": self.camera.input.rot_x,
                           "rot_y": self.camera.input.rot_y},
@@ -242,9 +270,11 @@ def _viewport(q) -> tuple:
     w = int(q.get("w", ["300"])[0])
     h = int(q.get("h", ["175"])[0])
     s = int(q.get("samples", ["16"])[0])
-    if not (16 <= w <= 2048 and 16 <= h <= 2048 and 4 <= s <= 128):
+    g = int(q.get("giants", ["512"])[0])
+    if not (16 <= w <= 2048 and 16 <= h <= 2048 and 4 <= s <= 128
+            and 32 <= g <= 4096):
         raise ValueError("viewport out of range")
-    return w, h, s
+    return w, h, s, g
 
 
 def _make_handler(service: FrameService):
@@ -280,7 +310,7 @@ def _make_handler(service: FrameService):
                     self._send(200, service.frame_npz(t), "application/octet-stream")
                 elif url.path == "/frame.png":
                     t = float(q.get("t", ["0"])[0])
-                    w, h, s = _viewport(q)
+                    w, h, s, g = _viewport(q)
                     camera = None
                     if any(k in q for k in ("px", "py", "pz", "rx", "ry", "rz")):
                         from gfx_ocean_tpu.render.camera import (  # noqa: PLC0415
@@ -293,7 +323,8 @@ def _make_handler(service: FrameService):
                         camera.rotation = np.array(
                             [float(q.get(k, [d])[0]) for k, d in
                              zip(("rx", "ry", "rz"), DEFAULT_ROTATION)])
-                    self._send(200, service.frame_png(t, w, h, s, camera),
+                    self._send(200, service.frame_png(t, w, h, s, camera,
+                                                      giants=g),
                                "image/png")
                 elif url.path == "/":
                     self._send(200, _VIEWER_HTML.encode(), "text/html")
@@ -311,10 +342,11 @@ def _make_handler(service: FrameService):
                         raise ValueError("need press=, release=, or touch=")
                     self._json(200, {"ok": True})
                 elif url.path == "/session/frame.png":
-                    w, h, s = _viewport(q)
+                    w, h, s, g = _viewport(q)
                     dt = float(q["dt"][0]) if "dt" in q else None
                     t, cam = service.session.advance(dt)
-                    self._send(200, service.frame_png(t, w, h, s, cam),
+                    self._send(200, service.frame_png(t, w, h, s, cam,
+                                                      giants=g),
                                "image/png")
                 elif url.path == "/session/state":
                     self._json(200, service.session.state())

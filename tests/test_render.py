@@ -297,3 +297,88 @@ def test_homogeneous_visibility_fuzz():
             mismatches += bool(mine[k]) != truth
     assert tested > 1000
     assert mismatches == 0, f"{mismatches}/{tested} visibility mismatches"
+
+
+# --- pool rasterizer (the fast path) vs the window golden -------------------
+
+def _render_both(disp, cam, width, height, mesh_resolution, pool=1 << 20,
+                 giants=512):
+    imgs = {}
+    for impl in ("pool", "window"):
+        imgs[impl] = render_frame(
+            disp, cam, width=width, height=height,
+            mesh_resolution=mesh_resolution, samples=16, giants=giants,
+            impl=impl, pool=pool, return_depth=True)
+    (img_p, z_p), (img_w, z_w) = imgs["pool"], imgs["window"]
+    return (np.asarray(img_p), np.asarray(z_p),
+            np.asarray(img_w), np.asarray(z_w))
+
+
+def test_pool_matches_window_default_camera():
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    img_p, z_p, img_w, z_w = _render_both(disp, Camera(), 96, 64, 64)
+    cov_p, cov_w = np.isfinite(z_p), np.isfinite(z_w)
+    np.testing.assert_array_equal(cov_p, cov_w)
+    both = cov_p & cov_w
+    # depth agrees to the ulp (same edge functions and pixel centers; the
+    # two graphs may contract mul+add differently per backend)
+    np.testing.assert_allclose(z_p[both], z_w[both], rtol=0, atol=2e-6)
+    # color can differ only on equal-depth ties (shared edges) — tiny
+    np.testing.assert_allclose(img_p, img_w, atol=1e-4)
+
+
+def test_pool_matches_window_fuzz_cameras():
+    """Coverage + depth equality under random poses, including cameras
+    inside the wave field (eye-plane-crossing triangles -> gather pass)."""
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        cam = Camera()
+        cam.position = np.array([rng.uniform(-20, 80), rng.uniform(1, 60),
+                                 rng.uniform(-20, 130)])
+        cam.rotation = np.array([rng.uniform(-1.0, 0.2),
+                                 rng.uniform(-3.1, 3.1), 0.0])
+        img_p, z_p, img_w, z_w = _render_both(disp, cam, 80, 48, 32)
+        cov_p, cov_w = np.isfinite(z_p), np.isfinite(z_w)
+        np.testing.assert_array_equal(cov_p, cov_w, err_msg=f"{cam.position}")
+        both = cov_p & cov_w
+        np.testing.assert_allclose(z_p[both], z_w[both], rtol=0, atol=2e-6)
+        np.testing.assert_allclose(img_p, img_w, atol=1e-4)
+
+
+def test_pool_overflow_spills_to_gather_pass():
+    """A deliberately tiny pool pushes the largest triangles into the
+    gather pass; with enough giant slots the output is unchanged."""
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    cam = Camera()
+    ref_img, ref_z, _, _ = _render_both(disp, cam, 80, 48, 32)
+    img, z = render_frame(disp, cam, width=80, height=48,
+                          mesh_resolution=32, impl="pool", pool=512,
+                          giants=2048, return_depth=True)
+    np.testing.assert_array_equal(np.isfinite(np.asarray(z)),
+                                  np.isfinite(ref_z))
+    np.testing.assert_allclose(np.asarray(z)[np.isfinite(ref_z)],
+                               ref_z[np.isfinite(ref_z)], rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(img), ref_img, atol=1e-4)
+
+
+def test_pool_overflow_diagnostic_zero_at_default():
+    from gfx_ocean_tpu.render.camera import perspective as persp
+    from gfx_ocean_tpu.render.mesh import build_grid as bg, instantiate as inst
+    from gfx_ocean_tpu.render.raster import pool_overflow
+
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    positions, uvs, tris = inst(bg(128, 4))
+    cam = Camera()
+    vp = (persp(480 / 280) @ cam.view()).astype(np.float32)
+    n = pool_overflow(disp, positions, uvs, tris.astype(np.int32), vp,
+                      480, 280)
+    assert n == 0

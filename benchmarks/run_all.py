@@ -191,6 +191,38 @@ def main() -> None:
     }
     configs["6_pallas_fused"] = pallas
 
+    # config 8: interactive rendering at the VERDICT viewport (480x280,
+    # 128^2 mesh, 4 patches): the pool rasterizer (f32 API path) and the
+    # fused step->render->sRGB serving pipeline (one dispatch; what the
+    # browser viewer runs). Coverage parity with the window golden is
+    # enforced by tests/test_render.py.
+    from gfx_ocean_tpu.render import Camera as _Cam, render_frame as _rf
+    from gfx_ocean_tpu.render.camera import perspective as _persp
+    from gfx_ocean_tpu.render.raster import make_frame_renderer as _mfr
+
+    disp512 = ot.make_step(ot.OceanConfig(compute_normals=False))(
+        st512, jnp.float32(11.25)).displacement
+    render = {}
+
+    def _median_ms(fn, n=7):
+        fn()
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return round(float(np.median(times)) * 1e3, 1)
+
+    render["pool_f32_ms"] = _median_ms(lambda: np.asarray(_rf(
+        disp512, _Cam(), width=480, height=280, mesh_resolution=128)))
+    fr = _mfr(ot.OceanConfig(), width=480, height=280)
+    vp = jnp.asarray((_persp(480 / 280) @ _Cam().view()).astype(np.float32))
+    cp = jnp.asarray(_Cam().position.astype(np.float32))
+    render["fused_step_render_srgb8_ms"] = _median_ms(
+        lambda: np.asarray(fr(st512, jnp.float32(11.25), vp, cp)))
+    render["viewport"] = "480x280, 128^2 mesh, 4 patches"
+    configs["8_render_interactive"] = render
+
     # config 7: sharded rollout (multi-chip surface). Real multi-chip
     # hardware is not reachable from this host, so this is a CORRECTNESS
     # record on the 8-device virtual CPU mesh (the gfx-backend-empty

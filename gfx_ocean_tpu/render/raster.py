@@ -302,8 +302,13 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     v3 = v_clip[..., (0, 1, 3)]                         # clip (x, y, w)
     cr = jnp.cross(v3[:, (1, 2, 0), :], v3[:, (2, 0, 1), :])   # (T, 3, 3)
     det = jnp.sum(cr[:, 0, :] * v3[:, 0, :], axis=-1)
+    # Fold sign(det) into the edge coefficients: the hit test becomes
+    # lam_i >= 0 & denom > 0 (sign flips are exact in f32, and the sign
+    # cancels in z's ratio — coverage and depth are unchanged; det == 0
+    # degenerates zero out every lam, rejected by denom > 0 either way).
+    cr = cr * jnp.sign(det)[:, None, None]
     ftab = jnp.concatenate([cr.reshape(t_count, 9), v_clip[..., 2],
-                            v_clip[..., 3], det[:, None]], axis=1)  # (T, 16)
+                            v_clip[..., 3]], axis=1)    # (T, 15)
 
     # Slot -> sorted triangle: scatter a 1 at every segment start, then
     # a running count. Zero-area triangles sort first and scatter
@@ -342,10 +347,8 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     lam0 = frow[0] * pnx + frow[1] * pny + frow[2]
     lam1 = frow[3] * pnx + frow[4] * pny + frow[5]
     lam2 = frow[6] * pnx + frow[7] * pny + frow[8]
-    det_s = frow[15]
     denom = lam0 + lam1 + lam2
-    hit = ((lam0 * det_s >= 0) & (lam1 * det_s >= 0) & (lam2 * det_s >= 0)
-           & (denom * det_s > 0)) & valid
+    hit = ((lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0) & (denom > 0)) & valid
     lam_w = lam0 * frow[12] + lam1 * frow[13] + lam2 * frow[14]
     z = (lam0 * frow[9] + lam1 * frow[10] + lam2 * frow[11]
          ) / jnp.where(lam_w == 0, 1.0, lam_w)

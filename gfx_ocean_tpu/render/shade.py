@@ -73,12 +73,19 @@ def fragment_normals(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
     replace the 16 independent gathers of the naive 4-tap form — the
     gathers were the measured cost of the whole fragment stage on TPU.
     """
+    import jax  # noqa: PLC0415
+
     h = displacement[..., 1]
     dxh = jnp.roll(h, -1, axis=1) - jnp.roll(h, 1, axis=1)
     dzh = jnp.roll(h, -1, axis=0) - jnp.roll(h, 1, axis=0)
     n_y, n_x = h.shape
-    gx = _sample_bilinear_wrap(dxh[..., None], u, v)[..., 0] / HEIGHT_SCALE
-    gz = _sample_bilinear_wrap(dzh[..., None], u, v)[..., 0] / HEIGHT_SCALE
+    # Pack both diff maps into one complex64 texture: bilinear is linear,
+    # so one 8-byte gather per corner serves both (complex never crosses
+    # the jit boundary — axon transfer limitation doesn't apply here).
+    dc = jax.lax.complex(dxh, dzh)
+    g = _sample_bilinear_wrap(dc[..., None], u, v)[..., 0]
+    gx = jnp.real(g) / HEIGHT_SCALE
+    gz = jnp.imag(g) / HEIGHT_SCALE
     diff_x = 2.0 / n_x
     diff_y = 2.0 / n_y
     na = _normalize(jnp.stack([jnp.full_like(gx, -diff_x), gx, jnp.zeros_like(gx)], -1))

@@ -83,8 +83,37 @@ def main() -> None:
             "rel_linf_vs_golden": rel_linf,
             "device": str(jax.devices()[0]),
             "repeats_sec": [round(t, 4) for t in times],
+            "sharded_rollout": _sharded_record(),
         },
     }))
+
+
+def _sharded_record():
+    """Multi-chip surface record: run the full sharded rollout on an
+    8-device virtual CPU mesh in a subprocess (real multi-chip hardware
+    is unreachable from this host — this is a correctness record, not a
+    throughput claim; on real ICI the row axis splits each DFT pass with
+    one all_to_all resharding per transform). Best-effort: a failure
+    here must not void the headline benchmark."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        out = subprocess.run(
+            [sys.executable, "-m", "gfx_ocean_tpu", "bench",
+             "--resolution", "256", "--steps", "8", "--repeats", "1",
+             "--time-batch", "1", "--mesh", "2,4"],
+            capture_output=True, text=True, timeout=420, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)), check=True)
+        rec = json.loads(out.stdout)
+        return {"ok": True, "mesh": rec["mesh"], "grid": rec["resolution"],
+                "cpu_mesh_steps_per_sec": round(rec["steps_per_sec"], 1),
+                "note": "8-device virtual CPU mesh correctness record"}
+    except Exception as e:  # noqa: BLE001
+        return {"ok": False, "error": f"{type(e).__name__}: {e}"[:200]}
 
 
 if __name__ == "__main__":

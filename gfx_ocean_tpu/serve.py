@@ -118,9 +118,14 @@ class FrameService:
                         giants=giants)
                 view_proj = (perspective(width / height)
                              @ camera.view()).astype(np.float32)
-                srgb = np.asarray(self._renderers[key](
+                srgb_dev = self._renderers[key](
                     self.state, jnp.float32(t), jnp.asarray(view_proj),
-                    jnp.asarray(camera.position.astype(np.float32))))
+                    jnp.asarray(camera.position.astype(np.float32)))
+            # Transfer OUTSIDE the lock: jax dispatch is async and the
+            # device queue is in-order, so the next request's compute
+            # overlaps this frame's download (the viewer keeps two frames
+            # in flight to exploit this).
+            srgb = np.asarray(srgb_dev)
             self.latency_ema.update(time.perf_counter() - t0)
             self.frames_served += 1
         else:
@@ -251,16 +256,26 @@ v.addEventListener('touchstart', e => {
 }, {passive: true});
 addEventListener('touchend', () => send('touch=ended'), {passive: true});
 let ema = null;
+const grab = () => fetch('/session/frame.png?w=480&h=280&samples=16')
+  .then(r => r.blob());
+// Two frames in flight, displayed in order: the server dispatches frame
+// n+1 to the TPU while frame n's pixels are still downloading.
 async function loop() {
-  const t0 = performance.now();
-  try {
-    const blob = await (await fetch('/session/frame.png?w=480&h=280&samples=16')).blob();
-    v.src = URL.createObjectURL(blob);
-    const ms = performance.now() - t0;
-    ema = ema === null ? ms : ema * 0.9 + ms * 0.1;   // src/lib.rs:146-148
-    hud.textContent = 'Ocean: ' + ema.toFixed(2) + 'ms  (W/S move, arrows look, touch to yaw)';
-  } catch (e) { hud.textContent = 'error: ' + e; }
-  requestAnimationFrame(loop);
+  let next = grab();
+  for (;;) {
+    const t0 = performance.now();
+    const cur = next;
+    next = grab();
+    try {
+      const blob = await cur;
+      v.src = URL.createObjectURL(blob);
+      const ms = performance.now() - t0;
+      ema = ema === null ? ms : ema * 0.9 + ms * 0.1;   // src/lib.rs:146-148
+      hud.textContent = 'Ocean: ' + ema.toFixed(2) + 'ms (' +
+        (1000 / ema).toFixed(1) + ' fps)  (W/S move, arrows look, touch to yaw)';
+    } catch (e) { hud.textContent = 'error: ' + e; }
+    await new Promise(requestAnimationFrame);
+  }
 }
 loop();
 </script></body></html>"""

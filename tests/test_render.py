@@ -382,3 +382,29 @@ def test_pool_overflow_diagnostic_zero_at_default():
     n = pool_overflow(disp, positions, uvs, tris.astype(np.int32), vp,
                       480, 280)
     assert n == 0
+
+
+def test_make_frame_renderer_matches_api_path():
+    """The fused serve pipeline == step() -> render_frame -> sRGB."""
+    import jax.numpy as jnp2
+
+    from gfx_ocean_tpu.render.camera import perspective as persp
+    from gfx_ocean_tpu.render.raster import make_frame_renderer
+
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False,
+                         mesh_resolution=32, num_patches=4)
+    cam = Camera()
+    fr = make_frame_renderer(cfg, width=96, height=64)
+    vp = (persp(96 / 64) @ cam.view()).astype(np.float32)
+    got = np.asarray(fr(state, jnp2.float32(5.0), jnp2.asarray(vp),
+                        jnp2.asarray(cam.position.astype(np.float32))))
+    disp = ot.make_step(cfg)(state, jnp2.float32(5.0)).displacement
+    img = np.asarray(render_frame(disp, cam, width=96, height=64,
+                                  mesh_resolution=32, num_patches=4))
+    want = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
+    assert got.dtype == np.uint8 and got.shape == (64, 96, 3)
+    # identical pipelines up to fusion-level float reassociation; allow
+    # the cast to flip by 1 on a handful of boundary pixels
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff > 1).mean() < 1e-3, f"max {diff.max()}, frac {(diff > 1).mean()}"

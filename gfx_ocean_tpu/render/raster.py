@@ -63,9 +63,29 @@ from gfx_ocean_tpu.render.camera import Camera, perspective
 from gfx_ocean_tpu.render.mesh import build_grid, instantiate
 
 
-def _vertex_stage(displacement, positions, uvs, view_proj):
-    """``shader/ocean.vert``: displace, offset, project, negate clip y."""
-    disp = sh.sample_displacement(displacement, uvs[:, 0], uvs[:, 1])
+def _vertex_stage(displacement, positions, uvs, view_proj, interp=None):
+    """``shader/ocean.vert``: displace, offset, project, negate clip y.
+
+    ``interp``: optional ``(Wy, Wx)`` bilinear-interpolation matrices from
+    ``_interp_matrices``. The mesh UVs are STATIC (and identical across
+    the 4 patch instances), so sampling the displacement texture at them
+    is a fixed linear map: two small matmuls on the MXU replace four
+    texture-sized gathers. The einsum order is pinned (x-axis lerp first,
+    then y) to match the gather form's association; the remaining
+    difference is the MXU 'highest' product rounding (measured clip-coord
+    delta <= 1.6e-5 on +-200-magnitude coords, i.e. f32-ulp level — both
+    rasterizer impls share this path, so their coverage stays identical).
+    """
+    if interp is not None:
+        w_y, w_x = interp
+        h = w_y.shape[0]
+        tmp = jnp.einsum("nmc,xm->nxc", displacement, w_x,
+                         precision="highest")
+        grid = jnp.einsum("yn,nxc->yxc", w_y, tmp, precision="highest")
+        disp = jnp.tile(grid.reshape(h * h, 3),
+                        (positions.shape[0] // (h * h), 1))
+    else:
+        disp = sh.sample_displacement(displacement, uvs[:, 0], uvs[:, 1])
     disp = disp.at[:, 1].multiply(1.0 / 3.0)
     disp = disp.at[:, 0].multiply(1.0 / 3.5)
     disp = disp.at[:, 2].multiply(1.0 / 3.5)
@@ -84,6 +104,30 @@ _TRI_CHUNK = 4096   # scatter triangles per scan iteration — bounds memory
 _GIANT_GROUP = 32   # gather triangles per scan iteration
 
 
+@functools.lru_cache(maxsize=16)
+def _interp_matrices(mesh_resolution: int, n_tex: int):
+    """(Wy, Wx) bilinear sampling matrices for the static mesh UV grid.
+
+    Row k holds the two wrap-mod-N texel weights of GL-style bilinear
+    sampling at u = k / (h - 1) (texel centers at (i + 0.5) / N,
+    matching ``shade._sample_bilinear_wrap``). Built in float64 on host,
+    shipped once per (mesh, texture) shape.
+    """
+    h = mesh_resolution
+    u = np.arange(h, dtype=np.float64) / (h - 1)
+    x = u * n_tex - 0.5
+    x0 = np.floor(x)
+    fx = (x - x0).astype(np.float32)
+    x0i = np.mod(x0.astype(np.int64), n_tex)
+    x1i = np.mod(x0i + 1, n_tex)
+    w = np.zeros((h, n_tex), dtype=np.float32)
+    rows = np.arange(h)
+    w[rows, x0i] += 1.0 - fx
+    w[rows, x1i] += fx
+    wj = jnp.asarray(w)
+    return wj, wj
+
+
 @functools.lru_cache(maxsize=8)
 def _mesh_constants(mesh_resolution: int, num_patches: int):
     """Host mesh build + device upload, once per mesh config. Rebuilding
@@ -93,6 +137,29 @@ def _mesh_constants(mesh_resolution: int, num_patches: int):
     positions, uvs, tris = instantiate(mesh)
     return (jnp.asarray(positions), jnp.asarray(uvs),
             jnp.asarray(tris.astype(np.int32)))
+
+
+def _tri_corners(clip, tris, grid_shape=None):
+    """``clip[tris]`` without the gather for the standard grid mesh.
+
+    ``grid_shape=(num_patches, h)``: vertices are patch-major (h, h)
+    grids and ``tris`` is ``build_grid``/``instantiate`` order — per
+    patch, every cell's (a, b, c) triangle row-major, then every
+    (c, b, d). Shifted slices of the (P, h, h, 4) clip grid reproduce
+    ``clip[tris]`` exactly, in order, as bulk copies instead of a
+    (T, 3, 4) gather.
+    """
+    if grid_shape is None:
+        return clip[tris]
+    p, h = grid_shape
+    g = clip.reshape(p, h, h, clip.shape[-1])
+    a = g[:, :-1, :-1]
+    b = g[:, 1:, :-1]
+    c = g[:, :-1, 1:]
+    d = g[:, 1:, 1:]
+    t1 = jnp.stack([a, b, c], axis=3).reshape(p, -1, 3, clip.shape[-1])
+    t2 = jnp.stack([c, b, d], axis=3).reshape(p, -1, 3, clip.shape[-1])
+    return jnp.concatenate([t1, t2], axis=1).reshape(-1, 3, clip.shape[-1])
 
 
 def _lambdas(v_clip, pnx, pny, pix_dims):
@@ -129,19 +196,50 @@ def _pixel_ndc(width: int, height: int):
     return pnx, pny
 
 
-def _giant_pass(clip, tris_all, score, z_img, id_img, width: int,
-                height: int, giants: int):
+_KEY_MAX = jnp.uint32(0xFFFFFFFF)
+
+
+def _id_bits(t_count: int) -> int:
+    """Bits reserved for the triangle id in the packed visibility key."""
+    return max(int(t_count - 1).bit_length(), 1)
+
+
+def _pack_key(z, tri_id, hit, id_bits: int):
+    """(z, id) -> one uint32 visibility key; min-reduction = z-buffer.
+
+    The high ``32 - id_bits`` bits hold NDC z quantized linearly over
+    (-1, 1) (15 bits at the production mesh — quantum 6e-5); the low
+    bits hold the triangle id, so ties on the quantized z resolve to the
+    SMALLEST id, deterministically and identically in the pool, window
+    and giant passes. Exact per-pixel depth is recomputed from the
+    winning id in the deferred pass, so z precision is NOT limited by
+    the key — the quantization only widens the near-tie band in which
+    the winner is id-ordered rather than z-ordered (adjacent mesh
+    triangles interpolate the same continuous surface there, so the
+    color impact is ~ulp). One uint32 scatter-min replaces the window
+    impl's original scatter-min + gather + scatter triple.
+    """
+    z_bits = 32 - id_bits
+    zq = jnp.clip((z * 0.5 + 0.5) * ((1 << z_bits) - 1), 0.0,
+                  float((1 << z_bits) - 1)).astype(jnp.uint32)
+    key = (zq << id_bits) | tri_id.astype(jnp.uint32)
+    return jnp.where(hit, key, _KEY_MAX)
+
+
+def _giant_pass(clip, tris_all, score, key_img, width: int,
+                height: int, giants: int, id_bits: int):
     """Edge-test the ``giants`` highest-scored triangles against every
-    pixel, in groups of ``_GIANT_GROUP``, merging depth + ID into the
-    scatter pass's images. Non-positive scores are inert, and the group
-    loop has a DYNAMIC trip count (``lax.while_loop``): the sorted-by-
-    score group list stops at the last active group, so the common scene
-    (camera above the water, nothing crossing, no overflow) pays ~zero
-    here instead of ``giants/_GIANT_GROUP`` full-screen passes."""
+    pixel, in groups of ``_GIANT_GROUP``, merging visibility keys into
+    the scatter pass's key image. Non-positive scores are inert, and the
+    group loop has a DYNAMIC trip count (``lax.while_loop``): the
+    sorted-by-score group list stops at the last active group, so the
+    common scene (camera above the water, nothing crossing, no overflow)
+    pays ~zero here instead of ``giants/_GIANT_GROUP`` full-screen
+    passes."""
     t_count = tris_all.shape[0]
     k_giants = min(giants, t_count)
     if k_giants == 0:
-        return z_img, id_img
+        return key_img
     _, giant_ix = jax.lax.top_k(score, k_giants)
     giant_ok = jnp.take(score, giant_ix) > 0
     groups = -(-k_giants // _GIANT_GROUP)
@@ -154,7 +252,7 @@ def _giant_pass(clip, tris_all, score, z_img, id_img, width: int,
     groups_needed = (n_active + _GIANT_GROUP - 1) // _GIANT_GROUP
     pnx_f, pny_f = _pixel_ndc(width, height)
 
-    def giant_group(zb, idb, ix, ok):
+    def giant_group(kb, ix, ok):
         v_clip = clip[tris_all[ix]]                     # (G, 3, 4)
         lam0, lam1, lam2, det = _lambdas(v_clip, pnx_f[None], pny_f[None], 2)
         det = det[:, None, None]
@@ -169,43 +267,46 @@ def _giant_pass(clip, tris_all, score, z_img, id_img, width: int,
              + lam2 * v_clip[:, None, None, 2, 2]) / jnp.where(
                  lam_w == 0, 1.0, lam_w)
         hit = hit & (z > -1.0) & (z < 1.0)
-        z_masked = jnp.where(hit, z, jnp.inf).astype(jnp.float32)
-
-        best = jnp.argmin(z_masked, axis=0)             # (H, W)
-        z_best = jnp.take_along_axis(z_masked, best[None], axis=0)[0]
-        win = z_best <= zb                              # inf where no hit
-        zb = jnp.where(win, z_best, zb)
-        idb = jnp.where(win, ix[best], idb)
-        return zb, idb
+        key = _pack_key(z, ix[:, None, None], hit, id_bits)  # (G, H, W)
+        return jnp.minimum(kb, key.min(axis=0))
 
     def cond(carry):
         return carry[0] < groups_needed
 
     def body(carry):
-        g, zb, idb = carry
+        g, kb = carry
         ix = jax.lax.dynamic_index_in_dim(giant_ix, g, 0, keepdims=False)
         ok = jax.lax.dynamic_index_in_dim(giant_ok, g, 0, keepdims=False)
-        zb, idb = giant_group(zb, idb, ix, ok)
-        return g + 1, zb, idb
+        return g + 1, giant_group(kb, ix, ok)
 
-    _, z_img, id_img = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), z_img, id_img))
-    return z_img, id_img
+    _, key_img = jax.lax.while_loop(cond, body, (jnp.int32(0), key_img))
+    return key_img
 
 
-def _deferred_shade(displacement, world, clip, tris_all, uvs, z_img, id_img,
-                    camera_pos, width: int, height: int):
+def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
+                    camera_pos, width: int, height: int, id_bits: int):
     """Per-pixel varying reconstruction + fragment shading from the
-    winning-ID image. Perspective-correct uv/world via the same lambda
-    weights (uncovered pixels compute garbage from id 0 and are masked
-    by ``covered`` at the end)."""
-    covered = z_img != jnp.inf
+    winning visibility-key image. Perspective-correct uv/world via the
+    same lambda weights; the EXACT f32 depth is recomputed here from the
+    winning triangle's clip rows (the scatter passes min-reduce only the
+    quantized key — see ``_pack_key``). Uncovered pixels compute garbage
+    from id 0 and are masked by ``covered`` at the end. Returns
+    ``(color, z_img)``."""
+    covered = key_img != _KEY_MAX
+    id_img = (key_img & jnp.uint32((1 << id_bits) - 1)).astype(jnp.int32)
     pnx_f, pny_f = _pixel_ndc(width, height)
     vt = tris_all[id_img]                               # (H, W, 3)
     v_clip_pix = clip[vt]                               # (H, W, 3, 4)
     lam0, lam1, lam2, _ = _lambdas(v_clip_pix, pnx_f, pny_f, 0)
     denom = lam0 + lam1 + lam2
     inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
+
+    lam_w = (lam0 * v_clip_pix[..., 0, 3] + lam1 * v_clip_pix[..., 1, 3]
+             + lam2 * v_clip_pix[..., 2, 3])
+    z_pix = (lam0 * v_clip_pix[..., 0, 2] + lam1 * v_clip_pix[..., 1, 2]
+             + lam2 * v_clip_pix[..., 2, 2]) / jnp.where(lam_w == 0, 1.0,
+                                                         lam_w)
+    z_img = jnp.where(covered, z_pix.astype(jnp.float32), jnp.inf)
 
     def interp_pix(attr_table):                         # (V, A) -> (H, W, A)
         a = attr_table[vt]                              # (H, W, 3, A)
@@ -219,7 +320,7 @@ def _deferred_shade(displacement, world, clip, tris_all, uvs, z_img, id_img,
     color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
                                world_img, camera_pos)
     clear = jnp.asarray(sh.CLEAR_COLOR)
-    return jnp.where(covered[..., None], color, clear[None, None])
+    return jnp.where(covered[..., None], color, clear[None, None]), z_img
 
 
 def _auto_pool(width: int, height: int) -> int:
@@ -234,19 +335,21 @@ def _auto_pool(width: int, height: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "height", "pool", "giants"))
+                   static_argnames=("width", "height", "pool", "giants",
+                                    "grid_shape"))
 def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
                     width: int, height: int, pool: int = 1 << 20,
-                    giants: int = 512):
+                    giants: int = 512, interp=None, grid_shape=None):
     """Exact-area pool rasterizer (see module docstring). Coverage and
     depth are identical to ``_rasterize`` (the window impl) by
     construction: both evaluate the same edge/denominator tests at the
     same pixel centers; only the slot->pixel assignment differs."""
-    world, clip = _vertex_stage(displacement, positions, uvs, view_proj)
+    world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
+                                interp)
     t_count = tris.shape[0]
     spill = width * height
 
-    v_clip = clip[tris]                                 # (T, 3, 4)
+    v_clip = _tri_corners(clip, tris, grid_shape)       # (T, 3, 4)
     w = v_clip[..., 3]
     fully_front = jnp.all(w > 1e-6, axis=-1)
     crossing = jnp.any(w > 1e-6, axis=-1) & ~fully_front
@@ -278,27 +381,34 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     bh = jnp.maximum(y1 - y0 + 1, 0)
     area = jnp.where(fully_front & ~outside, bw * bh, 0)
 
+    # Packed per-triangle payload columns, packed BEFORE the area sort:
+    # ``lax.sort`` carries them with the key (one fused sort), replacing
+    # the x0/y0/bw/area/crossing [order]-gathers of the argsort form.
+    # [x0 | y0 << 16 | crossing << 31] and [bw | tri_id << bw_bits] as
+    # uint32, with the id/bw split sized statically from T and width.
+    id_bits = _id_bits(t_count)
+    bw_bits = 32 - id_bits
+    assert width < (1 << min(16, bw_bits)) and height < (1 << 15), (
+        "viewport too wide for the packed slot table at this mesh size")
+    crossing_visible = crossing & ~outside
+    pack_xy = (x0.astype(jnp.uint32) | (y0.astype(jnp.uint32) << 16)
+               | (crossing_visible.astype(jnp.uint32) << 31))
+    pack_bw = (jnp.maximum(bw, 1).astype(jnp.uint32)
+               | (jnp.arange(t_count, dtype=jnp.uint32) << bw_bits))
+
     # Ascending area sort + prefix sum = slot ranges. Overflow (cum >
     # pool) hits the LARGEST areas first — exactly the triangles the
-    # gather pass is built for.
-    order = jnp.argsort(area)
-    area_s = area[order]
+    # gather pass is built for. (Tie order among equal areas is
+    # irrelevant: every triangle gets its own slot range either way.)
+    area_s, xy_s, bwid_s, order = jax.lax.sort(
+        (area, pack_xy, pack_bw, jnp.arange(t_count, dtype=jnp.int32)),
+        num_keys=1)
     cum = jnp.cumsum(area_s)
     start = cum - area_s
     n_zero = t_count - jnp.sum(area_s > 0)
 
-    # Packed per-triangle rows: one int gather + one f32 gather per slot.
-    # Bit-packing halves the int columns (every per-slot table read is a
-    # measured cost): [start, x0 | y0 << 16, bw | tri_id << bw_bits] as
-    # uint32, with the id/bw split sized statically from T and width.
-    id_bits = max(int(t_count - 1).bit_length(), 1)
-    bw_bits = 32 - id_bits
-    assert width < (1 << min(16, bw_bits)) and height < (1 << 16), (
-        "viewport too wide for the packed slot table at this mesh size")
-    itab = jnp.stack([start.astype(jnp.uint32),
-                      (x0[order] | (y0[order] << 16)).astype(jnp.uint32),
-                      (jnp.maximum(bw[order], 1).astype(jnp.uint32)
-                       | (order.astype(jnp.uint32) << bw_bits))], axis=1)
+    # Per-triangle rows: one int gather + one f32 gather per slot.
+    itab = jnp.stack([start.astype(jnp.uint32), xy_s, bwid_s], axis=1)
     v3 = v_clip[..., (0, 1, 3)]                         # clip (x, y, w)
     cr = jnp.cross(v3[:, (1, 2, 0), :], v3[:, (2, 0, 1), :])   # (T, 3, 3)
     det = jnp.sum(cr[:, 0, :] * v3[:, 0, :], axis=-1)
@@ -323,7 +433,7 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     irow = itab[sorted_idx].T                           # (3, P) uint32
     st = irow[0].astype(jnp.int32)
     px0 = (irow[1] & 0xFFFF).astype(jnp.int32)
-    py0 = (irow[1] >> 16).astype(jnp.int32)
+    py0 = ((irow[1] >> 16) & 0x7FFF).astype(jnp.int32)
     bws = (irow[2] & ((1 << bw_bits) - 1)).astype(jnp.int32)
     tri_id = (irow[2] >> bw_bits).astype(jnp.int32)
     # A slot is live iff it is below the covered prefix (segments are
@@ -353,27 +463,25 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     z = (lam0 * frow[9] + lam1 * frow[10] + lam2 * frow[11]
          ) / jnp.where(lam_w == 0, 1.0, lam_w)
     hit = hit & (z > -1.0) & (z < 1.0)
-    z_masked = jnp.where(hit, z, jnp.inf).astype(jnp.float32)
+    key = _pack_key(z, tri_id, hit, id_bits)
     flat = jnp.where(hit, py * width + px, spill)
 
-    zbuf = jnp.full((spill + 1,), jnp.inf, jnp.float32).at[flat].min(z_masked)
-    won = hit & (z_masked <= zbuf[flat])
-    idbuf = jnp.zeros((spill + 1,), jnp.int32).at[
-        jnp.where(won, flat, spill)].set(tri_id)
-    z_img = zbuf[:-1].reshape(height, width)
-    id_img = idbuf[:-1].reshape(height, width)
+    keybuf = jnp.full((spill + 1,), _KEY_MAX, jnp.uint32).at[flat].min(key)
+    key_img = keybuf[:-1].reshape(height, width)
 
-    # Gather pass: eye-plane-crossing triangles (unbounded bbox) + pool
-    # overflow. Scores live in sorted space; map winners back via order.
-    score_s = jnp.where((crossing & ~outside)[order], jnp.inf,
+    # Gather pass: eye-plane-crossing triangles (unbounded bbox, carried
+    # through the sort in the xy column's top bit) + pool overflow.
+    # Scores live in sorted space; map back via the sorted iota.
+    cross_s = (xy_s >> 31) != 0
+    score_s = jnp.where(cross_s, jnp.inf,
                         jnp.where((cum > pool) & (area_s > 0),
                                   area_s.astype(jnp.float32), -1.0))
     score = jnp.full((t_count,), -1.0, jnp.float32).at[order].set(score_s)
-    z_img, id_img = _giant_pass(clip, tris, score, z_img, id_img,
-                                width, height, giants)
+    key_img = _giant_pass(clip, tris, score, key_img, width, height,
+                          giants, id_bits)
 
-    img = _deferred_shade(displacement, world, clip, tris, uvs, z_img,
-                          id_img, camera_pos, width, height)
+    img, z_img = _deferred_shade(displacement, world, clip, tris, uvs,
+                                 key_img, camera_pos, width, height, id_bits)
     return img, z_img
 
 
@@ -411,8 +519,10 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "samples", "giants"))
 def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
-               width: int, height: int, samples: int, giants: int = 512):
-    world, clip = _vertex_stage(displacement, positions, uvs, view_proj)
+               width: int, height: int, samples: int, giants: int = 512,
+               interp=None):
+    world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
+                                interp)
 
     # Pad triangles to a chunk multiple; padding points at vertex 0 thrice
     # (degenerate -> rejected by the det/denom sign tests).
@@ -430,17 +540,20 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
     def ndc_xy(cx, cy):
         return 2.0 * cx / width - 1.0, 2.0 * cy / height - 1.0
 
+    id_bits = _id_bits(t_count)
+
     # --- pass 1+2: windowed scatter for fully-in-front triangles ----------
     # The ``budget`` samples per triangle snake row-major through the
     # triangle's own pixel bbox (not a fixed square), so any bbox of AREA
     # <= budget is fully covered — thin grazing slivers included. Bboxes
     # larger than the budget are the gather pass's job.
     #
-    # Only depth and the winning triangle ID are scattered (visibility);
-    # varyings are reconstructed once per *pixel* at the end — scatter
-    # traffic is the TPU bottleneck, and z+id is 2 channels vs 6.
+    # Visibility is one packed-key scatter-min (``_pack_key``) — shared
+    # with the pool impl so both resolve winners identically, ties
+    # included; varyings AND exact depth are reconstructed once per
+    # *pixel* at the end (scatter traffic is the TPU bottleneck).
     def chunk_body(carry, chunk):
-        zbuf, idbuf = carry
+        keybuf = carry
         tri_chunk, tri_ids = chunk
         v_clip = clip[tri_chunk]          # (C, 3, 4)
 
@@ -473,25 +586,18 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
              + lam2 * v_clip[:, None, 2, 2]) / jnp.where(lam_w == 0, 1.0,
                                                          lam_w)
         mask = mask & (z > -1.0) & (z < 1.0)
-        z_masked = jnp.where(mask, z, jnp.inf).astype(jnp.float32)
+        ids = jnp.broadcast_to(tri_ids[:, None], mask.shape)
+        key = _pack_key(z, ids, mask, id_bits)
         flat_ix = jnp.where(mask, py * width + px, spill)
-
-        zbuf = zbuf.at[flat_ix.reshape(-1)].min(z_masked.reshape(-1))
-
-        won = mask & (z_masked <= zbuf[flat_ix])
-        scatter_ix = jnp.where(won, flat_ix, spill).reshape(-1)
-        ids = jnp.broadcast_to(tri_ids[:, None], won.shape).reshape(-1)
-        idbuf = idbuf.at[scatter_ix].set(ids)
-        return (zbuf, idbuf), None
+        keybuf = keybuf.at[flat_ix.reshape(-1)].min(key.reshape(-1))
+        return keybuf, None
 
     all_ids = jnp.arange(chunks * _TRI_CHUNK,
                          dtype=jnp.int32).reshape(chunks, _TRI_CHUNK)
-    init = (jnp.full((spill + 1,), jnp.inf, jnp.float32),
-            jnp.zeros((spill + 1,), jnp.int32))
-    (zbuf, idbuf), _ = jax.lax.scan(chunk_body, init, (tris, all_ids))
+    init = jnp.full((spill + 1,), _KEY_MAX, jnp.uint32)
+    keybuf, _ = jax.lax.scan(chunk_body, init, (tris, all_ids))
 
-    z_img = zbuf[:-1].reshape(height, width)
-    id_img = idbuf[:-1].reshape(height, width)
+    key_img = keybuf[:-1].reshape(height, width)
 
     # --- pass 3: gather for triangles the window cannot cover -------------
     # Need = screen bbox AREA above the sample budget, or any vertex
@@ -525,10 +631,10 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
         crossing & ~outside, jnp.inf,
         jnp.where(fully_front & ~outside & overlaps & (area > budget),
                   area, -1.0))
-    z_img, id_img = _giant_pass(clip, tris_all, score, z_img, id_img,
-                                width, height, giants)
-    img = _deferred_shade(displacement, world, clip, tris_all, uvs, z_img,
-                          id_img, camera_pos, width, height)
+    key_img = _giant_pass(clip, tris_all, score, key_img, width, height,
+                          giants, id_bits)
+    img, z_img = _deferred_shade(displacement, world, clip, tris_all, uvs,
+                                 key_img, camera_pos, width, height, id_bits)
     return img, z_img
 
 
@@ -562,6 +668,7 @@ def render_frame(
         (H, W, 3) float32 image (plus the depth buffer if requested).
     """
     positions, uvs, tris = _mesh_constants(mesh_resolution, num_patches)
+    interp = _interp_matrices(mesh_resolution, displacement.shape[-2])
     proj = perspective(width / height)
     view_proj = jnp.asarray((proj @ camera.view()).astype(np.float32))
     args = (jnp.asarray(displacement), positions, uvs, tris, view_proj,
@@ -569,9 +676,11 @@ def render_frame(
     if impl == "pool":
         img, depth = _rasterize_pool(*args, width, height,
                                      pool or _auto_pool(width, height),
-                                     giants)
+                                     giants, interp,
+                                     (num_patches, mesh_resolution))
     elif impl == "window":
-        img, depth = _rasterize(*args, width, height, samples, giants)
+        img, depth = _rasterize(*args, width, height, samples, giants,
+                                interp)
     else:
         raise ValueError(f"impl must be 'pool' or 'window', got {impl!r}")
     if return_depth:
@@ -606,13 +715,16 @@ def make_frame_renderer(
 
     positions, uvs, tris = _mesh_constants(config.mesh_resolution,
                                            config.num_patches)
+    interp = _interp_matrices(config.mesh_resolution, config.resolution)
 
     @_ft.partial(jax.jit, donate_argnums=())
     def fn(state, t, view_proj, camera_pos):
         fields = _ocean_step(state, t, config)
         img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
                                  view_proj, camera_pos, width, height,
-                                 pool or _auto_pool(width, height), giants)
+                                 pool or _auto_pool(width, height), giants,
+                                 interp,
+                                 (config.num_patches, config.mesh_resolution))
         # sRGB encode on device (matches the host-side conversion in
         # serve.py / cli.py render: gamma 1/2.2, truncating cast).
         return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(jnp.uint8)
@@ -644,6 +756,7 @@ def render_frames(
         (F, H, W, 3) float32 images.
     """
     positions, uvs, tris = _mesh_constants(mesh_resolution, num_patches)
+    interp = _interp_matrices(mesh_resolution, displacements.shape[-2])
     proj = perspective(width / height)
     view_projs = np.stack([(proj @ c.view()).astype(np.float32) for c in cameras])
     cam_pos = np.stack([c.position.astype(np.float32) for c in cameras])
@@ -653,11 +766,12 @@ def render_frames(
 
         def one(d, vp, cp):
             return _rasterize_pool(d, positions, uvs, tris, vp, cp,
-                                   width, height, pool, giants)[0]
+                                   width, height, pool, giants, interp,
+                                   (num_patches, mesh_resolution))[0]
     else:
         def one(d, vp, cp):
             return _rasterize(d, positions, uvs, tris, vp, cp,
-                              width, height, samples, giants)[0]
+                              width, height, samples, giants, interp)[0]
     f = jax.vmap(one)
     return f(jnp.asarray(displacements), jnp.asarray(view_projs),
              jnp.asarray(cam_pos))

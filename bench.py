@@ -38,6 +38,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     import gfx_ocean_tpu as ot
+    from gfx_ocean_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     from gfx_ocean_tpu.golden.reference import golden_fields
     from gfx_ocean_tpu.utils.complexpair import from_pair_np
 

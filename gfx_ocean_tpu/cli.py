@@ -338,6 +338,8 @@ def _honor_platform_env() -> None:
 
 def main(argv=None) -> int:
     _honor_platform_env()
+    from gfx_ocean_tpu.utils.compile_cache import enable_default_cache
+    enable_default_cache()
     parser = argparse.ArgumentParser(
         prog="gfx_ocean_tpu",
         description="TPU-native FFT ocean simulation (gfx-rs/gfx-ocean rebuilt for TPU)")

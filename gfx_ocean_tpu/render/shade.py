@@ -105,12 +105,17 @@ def fragment_normals(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
     dxh = (jnp.roll(h, -1, axis=1) - jnp.roll(h, 1, axis=1)) * inv_scale
     dzh = (jnp.roll(h, -1, axis=0) - jnp.roll(h, 1, axis=0)) * inv_scale
     n_y, n_x = h.shape
-    # Four packed textures: (val[y, x], val[y, x+1]) in the f16 lanes,
-    # row y0 and row y0+1 variants for each of dxh / dzh.
+    # One (N^2, 4)-column table: (val[y, x], val[y, x+1]) in the f16
+    # lanes, row y0 and row y0+1 variants for each of dxh / dzh. All 8
+    # taps arrive in ONE row gather at the flat (y0, x0) index —
+    # contiguous-row table gathers measure ~5-10x cheaper per element
+    # than (1, 1) texture gathers on TPU, and 4 u32 columns stay under
+    # the minor-dim tiling trap (see CLAUDE.md render notes).
     tex_x0 = _pack_f16_pair(dxh, jnp.roll(dxh, -1, axis=1))
-    tex_x1 = jnp.roll(tex_x0, -1, axis=0)
     tex_z0 = _pack_f16_pair(dzh, jnp.roll(dzh, -1, axis=1))
-    tex_z1 = jnp.roll(tex_z0, -1, axis=0)
+    dtab = jnp.stack([tex_x0, jnp.roll(tex_x0, -1, axis=0),
+                      tex_z0, jnp.roll(tex_z0, -1, axis=0)],
+                     axis=-1).reshape(n_y * n_x, 4)
 
     x = u * n_x - 0.5
     y = v * n_y - 0.5
@@ -121,14 +126,16 @@ def fragment_normals(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
     x0i = jnp.mod(x0.astype(jnp.int32), n_x)
     y0i = jnp.mod(y0.astype(jnp.int32), n_y)
 
+    rows = jnp.moveaxis(dtab[y0i * n_x + x0i], -1, 0)   # (4, ...)
+
     def bilerp(t0, t1):
-        a00, a10 = _unpack_f16_pair(t0[y0i, x0i])
-        a01, a11 = _unpack_f16_pair(t1[y0i, x0i])
+        a00, a10 = _unpack_f16_pair(t0)
+        a01, a11 = _unpack_f16_pair(t1)
         return ((a00 * (1 - fx) + a10 * fx) * (1 - fy)
                 + (a01 * (1 - fx) + a11 * fx) * fy)
 
-    gx = bilerp(tex_x0, tex_x1)
-    gz = bilerp(tex_z0, tex_z1)
+    gx = bilerp(rows[0], rows[1])
+    gz = bilerp(rows[2], rows[3])
     diff_x = 2.0 / n_x
     diff_y = 2.0 / n_y
     na = _normalize(jnp.stack([jnp.full_like(gx, -diff_x), gx, jnp.zeros_like(gx)], -1))

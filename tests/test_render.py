@@ -408,3 +408,57 @@ def test_make_frame_renderer_matches_api_path():
     # the cast to flip by 1 on a handful of boundary pixels
     diff = np.abs(got.astype(int) - want.astype(int))
     assert (diff > 1).mean() < 1e-3, f"max {diff.max()}, frac {(diff > 1).mean()}"
+
+# --- raster building blocks introduced by the keyed/packed fast paths -------
+
+def test_tri_corners_matches_gather():
+    """Structured slice build == clip[tris] for the standard grid mesh."""
+    from gfx_ocean_tpu.render.raster import _tri_corners
+
+    for p, h in [(4, 8), (2, 5), (1, 3)]:
+        mesh = build_grid(h, p)
+        _, _, tris = instantiate(mesh)
+        clip = jnp.asarray(
+            np.random.default_rng(0).standard_normal((p * h * h, 4))
+            .astype(np.float32))
+        want = np.asarray(clip[jnp.asarray(tris.astype(np.int32))])
+        got = np.asarray(_tri_corners(clip, tris.astype(np.int32), (p, h)))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_interp_matrices_match_bilinear_sampler():
+    """The MXU vertex-sampling matrices == the gather bilinear sampler at
+    the static mesh UV grid (exact on CPU: the two-term dot adds only
+    exact zeros; on TPU the MXU product rounding adds ~1e-5 — covered by
+    the pool-vs-window equality tests, which share the path)."""
+    from gfx_ocean_tpu.render.raster import _interp_matrices
+
+    h, n = 16, 64
+    tex = jnp.asarray(
+        np.random.default_rng(1).standard_normal((n, n, 3)).astype(np.float32))
+    w_y, w_x = _interp_matrices(h, n)
+    tmp = jnp.einsum("nmc,xm->nxc", tex, w_x, precision="highest")
+    grid = np.asarray(jnp.einsum("yn,nxc->yxc", w_y, tmp,
+                                 precision="highest"))
+    # the exact (v-major, u-minor) sample grid the mesh uses
+    u = np.arange(h, dtype=np.float64) / (h - 1)
+    want = np.asarray(sh.sample_displacement(
+        tex,
+        jnp.asarray(np.tile(u, (h, 1)).astype(np.float32)),
+        jnp.asarray(np.tile(u[:, None], (1, h)).astype(np.float32))))
+    # ulp-level residue: the matrices hold f64-computed bilinear weights,
+    # the sampler computes its fractions in f32
+    np.testing.assert_allclose(grid, want, atol=1e-5)
+
+
+def test_pack_key_orders_by_depth_then_id():
+    from gfx_ocean_tpu.render.raster import _KEY_MAX, _pack_key
+
+    id_bits = 15
+    z = jnp.asarray([-0.9, -0.9, 0.0, 0.5, 0.99])
+    tid = jnp.asarray([7, 3, 9, 1, 2], jnp.int32)
+    hit = jnp.asarray([True, True, True, True, False])
+    keys = np.asarray(_pack_key(z, tid, hit, id_bits))
+    assert keys[4] == np.uint32(_KEY_MAX)          # miss -> inert
+    assert keys[1] < keys[0] < keys[2] < keys[3]   # z orders; id ties break low
+    assert (keys[0] & ((1 << id_bits) - 1)) == 7   # id recoverable

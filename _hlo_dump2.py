@@ -1,3 +1,6 @@
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np, jax, jax.numpy as jnp
 import gfx_ocean_tpu as ot
 from gfx_ocean_tpu.render.camera import Camera, perspective

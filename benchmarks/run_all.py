@@ -54,6 +54,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     import gfx_ocean_tpu as ot
+    from gfx_ocean_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     from gfx_ocean_tpu.config import PhillipsConfig
     from gfx_ocean_tpu.golden.reference import golden_fields
     from gfx_ocean_tpu.models.ocean import (

@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # the TPU backend with JAX_PLATFORMS=axon; the config update wins either way.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeat suite runs skip CPU-mesh compiles
+# (the dominant cost of this suite). Same default dir as the product
+# entry points; cache keys include platform/flags so CPU and TPU coexist.
+from gfx_ocean_tpu.utils.compile_cache import enable_default_cache  # noqa: E402
+
+enable_default_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -23,16 +23,18 @@ varying passes:
     bottleneck, and the window impl pays samples^2 scatter slots for
     EVERY triangle even though most project to a few pixels (measured
     512^2-scene sum of clamped bbox areas ~0.8M vs 33M fixed-budget
-    slots). The pool impl spends exactly one sample slot per pixel of
-    each triangle's viewport-clamped bbox: triangles sort by bbox area
-    (ascending), a prefix sum assigns each a contiguous slot range in a
-    static ``pool``, a segment-boundary scatter + cumsum maps each slot
-    back to its triangle, and each slot edge-tests one bbox pixel. One
-    packed int row (start/x0/y0/bw/id/area) and one packed f32 row (the
-    9 cross-product coefficients + clip z/w rows + det) per slot keep
-    the gather count at two. Triangles that don't fit (prefix sum past
-    the pool end — the LARGEST areas, by the ascending sort) spill to
-    the gather pass.
+    slots). The pool impl spends exactly one sample slot per HORIZONTAL
+    PIXEL PAIR of each triangle's viewport-clamped bbox: triangles sort
+    by slot count (ascending), a prefix sum assigns each a contiguous
+    slot range in a static ``pool``, a segment-boundary scatter + cumsum
+    maps each slot back to its triangle, and each slot edge-tests its
+    two bbox pixels (the second reuses the slot's table rows — the
+    per-slot bookkeeping, not the VPU math, is the measured cost). One
+    packed int row (start/x0/y0/bw/id) and one packed f32 row (the
+    9 sign-folded cross-product coefficients + clip z/w rows) per slot
+    keep the gather count at two. Triangles that don't fit (prefix sum
+    past the pool end — the LARGEST areas, by the ascending sort) spill
+    to the gather pass.
 ``impl="window"`` (the original; kept as the golden reference for the
     pool path). Every fully-in-front triangle gets samples^2 sample
     points snaking row-major through its own screen bbox; bboxes larger
@@ -283,8 +285,40 @@ def _giant_pass(clip, tris_all, score, key_img, width: int,
     return key_img
 
 
+def _decode_tri(id_img, grid_shape):
+    """Triangle id -> (vertex ids (..., 3), corner uvs (..., 3, 2)) for
+    the standard grid mesh, by pure integer arithmetic (no table gather).
+
+    Inverts the ``build_grid``/``instantiate`` layout: per patch, all
+    (a, b, c) cell triangles row-major, then all (c, b, d); vertex
+    ``z * h + x`` within a patch; uv = (x, z) / (h - 1), identical
+    across patches. Guarded exact vs the index/uv tables by
+    ``tests/test_render.py::test_decode_tri_matches_tables``.
+    """
+    p_count, h = grid_shape
+    cells = (h - 1) * (h - 1)
+    tp = 2 * cells
+    patch = id_img // tp
+    r = id_img - patch * tp
+    s = r // cells                                      # 0: (a,b,c), 1: (c,b,d)
+    cell = r - s * cells
+    cz = cell // (h - 1)
+    cx = cell - cz * (h - 1)
+    base = patch * (h * h) + cz * h + cx
+    # corner (x, z) offsets within the cell, per set
+    sb = s.astype(jnp.int32)
+    dx = jnp.stack([sb, jnp.zeros_like(sb), jnp.ones_like(sb)], axis=-1)
+    dz = jnp.stack([jnp.zeros_like(sb), jnp.ones_like(sb), sb], axis=-1)
+    vt = base[..., None] + dz * h + dx
+    denom = np.float32(h - 1)
+    u = (cx[..., None] + dx).astype(jnp.float32) / denom
+    v = (cz[..., None] + dz).astype(jnp.float32) / denom
+    return vt, jnp.stack([u, v], axis=-1)
+
+
 def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
-                    camera_pos, width: int, height: int, id_bits: int):
+                    camera_pos, width: int, height: int, id_bits: int,
+                    grid_shape=None):
     """Per-pixel varying reconstruction + fragment shading from the
     winning visibility-key image. Perspective-correct uv/world via the
     same lambda weights; the EXACT f32 depth is recomputed here from the
@@ -295,7 +329,11 @@ def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
     covered = key_img != _KEY_MAX
     id_img = (key_img & jnp.uint32((1 << id_bits) - 1)).astype(jnp.int32)
     pnx_f, pny_f = _pixel_ndc(width, height)
-    vt = tris_all[id_img]                               # (H, W, 3)
+    if grid_shape is not None:
+        vt, uv_corners = _decode_tri(id_img, grid_shape)  # no table gathers
+    else:
+        vt = tris_all[id_img]                           # (H, W, 3)
+        uv_corners = None
     v_clip_pix = clip[vt]                               # (H, W, 3, 4)
     lam0, lam1, lam2, _ = _lambdas(v_clip_pix, pnx_f, pny_f, 0)
     denom = lam0 + lam1 + lam2
@@ -308,14 +346,13 @@ def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
                                                          lam_w)
     z_img = jnp.where(covered, z_pix.astype(jnp.float32), jnp.inf)
 
-    def interp_pix(attr_table):                         # (V, A) -> (H, W, A)
-        a = attr_table[vt]                              # (H, W, 3, A)
+    def interp(a):                                      # (H, W, 3, A) corners
         return (lam0[..., None] * a[..., 0, :]
                 + lam1[..., None] * a[..., 1, :]
                 + lam2[..., None] * a[..., 2, :]) * inv_denom[..., None]
 
-    uv_img = interp_pix(uvs)
-    world_img = interp_pix(world)
+    uv_img = interp(uv_corners if uv_corners is not None else uvs[vt])
+    world_img = interp(world[vt])
 
     color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
                                world_img, camera_pos)
@@ -324,14 +361,17 @@ def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
 
 
 def _auto_pool(width: int, height: int) -> int:
-    """Slot pool sized to ~3x the viewport area, floored at 2^19. Camera
-    sweeps at 480x280 measure p90 total bbox area = 423K and worst case
-    551K vs 2^19 = 524K; the overflow tail is by construction the few
-    LARGEST triangles, which the ``giants`` gather pass absorbs exactly.
-    Every per-slot op scales with the pool, so oversizing costs time;
-    undersizing only shifts work to the gather pass (never correctness,
-    up to its ``giants`` capacity — see ``pool_overflow``)."""
-    return 1 << max(19, (3 * width * height - 1).bit_length())
+    """Slot pool (one slot = a horizontal pixel PAIR) sized to ~1.5x the
+    viewport area, floored at 2^18 — the same pixel capacity as the
+    round-2 one-pixel-per-slot pool (3x viewport, floor 2^19). Camera
+    sweeps at 480x280 measured p90 total bbox area = 423K px and worst
+    case 551K px against that 2^19-px capacity; the overflow tail is by
+    construction the few LARGEST triangles, which the ``giants`` gather
+    pass absorbs exactly. Every per-slot op scales with the pool, so
+    oversizing costs time; undersizing only shifts work to the gather
+    pass (never correctness, up to its ``giants`` capacity — see
+    ``pool_overflow``)."""
+    return 1 << max(18, (3 * width * height // 2 - 1).bit_length())
 
 
 @functools.partial(jax.jit,
@@ -379,7 +419,11 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     y1 = jnp.minimum(jnp.floor(sy.max(-1) - 0.5), height - 1.0).astype(jnp.int32)
     bw = jnp.maximum(x1 - x0 + 1, 0)
     bh = jnp.maximum(y1 - y0 + 1, 0)
-    area = jnp.where(fully_front & ~outside, bw * bh, 0)
+    # One slot serves a PAIR of horizontally adjacent bbox pixels: the
+    # per-slot bookkeeping (cumsum, segment scatter, table gathers) is
+    # the measured cost, and the second pixel reuses the slot's table
+    # rows for 3 more fused multiply-adds. ``area`` is in SLOT units.
+    area = jnp.where(fully_front & ~outside, ((bw + 1) // 2) * bh, 0)
 
     # Packed per-triangle payload columns, packed BEFORE the area sort:
     # ``lax.sort`` carries them with the key (one fused sort), replacing
@@ -442,31 +486,39 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     slot = jnp.arange(pool, dtype=jnp.int32)
     valid = slot < total_covered
     k = slot - st
-    # Row-major walk of the clamped bbox. f32 divide instead of integer
-    # div/mod: quotients are < 2^24 ints with >= 1/bw margin to the next
-    # integer (way above f32 ulp here), so floor is exact.
+    # Row-major walk of the clamped bbox in column-PAIRS. f32 divide
+    # instead of integer div/mod: quotients are < 2^24 ints with
+    # >= 1/cw margin to the next integer (way above f32 ulp), so floor
+    # is exact.
     kf = k.astype(jnp.float32)
-    bwf = bws.astype(jnp.float32)
-    q = jnp.floor(kf / bwf)
-    px = px0 + (kf - q * bwf).astype(jnp.int32)
+    cw = (bws + 1) // 2                                 # column pairs/row
+    cwf = cw.astype(jnp.float32)
+    q = jnp.floor(kf / cwf)
+    col2 = (kf - q * cwf).astype(jnp.int32)
+    px = px0 + 2 * col2
     py = py0 + q.astype(jnp.int32)
 
     frow = ftab[tri_id].T                               # (16, P)
-    pnx = 2.0 * (px.astype(jnp.float32) + 0.5) / width - 1.0
     pny = 2.0 * (py.astype(jnp.float32) + 0.5) / height - 1.0
-    lam0 = frow[0] * pnx + frow[1] * pny + frow[2]
-    lam1 = frow[3] * pnx + frow[4] * pny + frow[5]
-    lam2 = frow[6] * pnx + frow[7] * pny + frow[8]
-    denom = lam0 + lam1 + lam2
-    hit = ((lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0) & (denom > 0)) & valid
-    lam_w = lam0 * frow[12] + lam1 * frow[13] + lam2 * frow[14]
-    z = (lam0 * frow[9] + lam1 * frow[10] + lam2 * frow[11]
-         ) / jnp.where(lam_w == 0, 1.0, lam_w)
-    hit = hit & (z > -1.0) & (z < 1.0)
-    key = _pack_key(z, tri_id, hit, id_bits)
-    flat = jnp.where(hit, py * width + px, spill)
-
-    keybuf = jnp.full((spill + 1,), _KEY_MAX, jnp.uint32).at[flat].min(key)
+    keybuf = jnp.full((spill + 1,), _KEY_MAX, jnp.uint32)
+    # Both pixels of the pair evaluate the FULL edge expressions (not an
+    # incremental update) so their rounding is identical to the window
+    # impl's — coverage equality is exact, not approximate.
+    for sub, live in ((0, valid), (1, valid & (2 * col2 + 1 < bws))):
+        pxs = px + sub
+        pnx = 2.0 * (pxs.astype(jnp.float32) + 0.5) / width - 1.0
+        lam0 = frow[0] * pnx + frow[1] * pny + frow[2]
+        lam1 = frow[3] * pnx + frow[4] * pny + frow[5]
+        lam2 = frow[6] * pnx + frow[7] * pny + frow[8]
+        denom = lam0 + lam1 + lam2
+        hit = ((lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0) & (denom > 0)) & live
+        lam_w = lam0 * frow[12] + lam1 * frow[13] + lam2 * frow[14]
+        z = (lam0 * frow[9] + lam1 * frow[10] + lam2 * frow[11]
+             ) / jnp.where(lam_w == 0, 1.0, lam_w)
+        hit = hit & (z > -1.0) & (z < 1.0)
+        key = _pack_key(z, tri_id, hit, id_bits)
+        flat = jnp.where(hit, py * width + pxs, spill)
+        keybuf = keybuf.at[flat].min(key)
     key_img = keybuf[:-1].reshape(height, width)
 
     # Gather pass: eye-plane-crossing triangles (unbounded bbox, carried
@@ -481,7 +533,8 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
                           giants, id_bits)
 
     img, z_img = _deferred_shade(displacement, world, clip, tris, uvs,
-                                 key_img, camera_pos, width, height, id_bits)
+                                 key_img, camera_pos, width, height, id_bits,
+                                 grid_shape)
     return img, z_img
 
 
@@ -508,8 +561,10 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
     x1 = jnp.minimum(jnp.floor(sx.max(-1) - 0.5), width - 1.0)
     y0 = jnp.maximum(jnp.ceil(sy.min(-1) - 0.5), 0.0)
     y1 = jnp.minimum(jnp.floor(sy.max(-1) - 0.5), height - 1.0)
+    # slot units: ceil(bw / 2) column pairs x bh rows (pair-slot pool)
     area = jnp.where(fully_front & ~outside,
-                     jnp.maximum(x1 - x0 + 1, 0) * jnp.maximum(y1 - y0 + 1, 0),
+                     jnp.ceil(jnp.maximum(x1 - x0 + 1, 0) / 2)
+                     * jnp.maximum(y1 - y0 + 1, 0),
                      0.0)
     pool = pool or _auto_pool(width, height)
     cum = jnp.cumsum(jnp.sort(area))
@@ -517,10 +572,11 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "height", "samples", "giants"))
+                   static_argnames=("width", "height", "samples", "giants",
+                                    "grid_shape"))
 def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                width: int, height: int, samples: int, giants: int = 512,
-               interp=None):
+               interp=None, grid_shape=None):
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
                                 interp)
 
@@ -634,7 +690,8 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
     key_img = _giant_pass(clip, tris_all, score, key_img, width, height,
                           giants, id_bits)
     img, z_img = _deferred_shade(displacement, world, clip, tris_all, uvs,
-                                 key_img, camera_pos, width, height, id_bits)
+                                 key_img, camera_pos, width, height, id_bits,
+                                 grid_shape)
     return img, z_img
 
 
@@ -680,7 +737,7 @@ def render_frame(
                                      (num_patches, mesh_resolution))
     elif impl == "window":
         img, depth = _rasterize(*args, width, height, samples, giants,
-                                interp)
+                                interp, (num_patches, mesh_resolution))
     else:
         raise ValueError(f"impl must be 'pool' or 'window', got {impl!r}")
     if return_depth:
@@ -771,7 +828,8 @@ def render_frames(
     else:
         def one(d, vp, cp):
             return _rasterize(d, positions, uvs, tris, vp, cp,
-                              width, height, samples, giants, interp)[0]
+                              width, height, samples, giants, interp,
+                              (num_patches, mesh_resolution))[0]
     f = jax.vmap(one)
     return f(jnp.asarray(displacements), jnp.asarray(view_projs),
              jnp.asarray(cam_pos))

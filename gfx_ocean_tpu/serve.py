@@ -256,7 +256,7 @@ v.addEventListener('touchstart', e => {
 }, {passive: true});
 addEventListener('touchend', () => send('touch=ended'), {passive: true});
 let ema = null;
-const grab = () => fetch('/session/frame.png?w=480&h=280&samples=16')
+const grab = () => fetch('/session/frame.png?w=480&h=280')
   .then(r => r.blob());
 // Two frames in flight, displayed in order: the server dispatches frame
 // n+1 to the TPU while frame n's pixels are still downloading.

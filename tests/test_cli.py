@@ -140,3 +140,22 @@ def test_cli_mesh_rejects_bad_shapes():
         main(["bench", *BASE, "--steps", "2", "--mesh", "3,5"])
     with pytest.raises(SystemExit):
         main(["bench", *BASE, "--steps", "2", "--mesh", "nope"])
+
+
+def test_compile_cache_respects_env(monkeypatch, tmp_path):
+    """An explicit JAX_COMPILATION_CACHE_DIR wins over the package default."""
+    from gfx_ocean_tpu.utils import compile_cache
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/explicit/user/dir")
+    assert compile_cache.enable_default_cache() == "/explicit/user/dir"
+
+
+def test_compile_cache_returns_active_dir(monkeypatch, tmp_path):
+    """Without the env var, returns the active (or newly set) cache dir."""
+    from gfx_ocean_tpu.utils import compile_cache
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    got = compile_cache.enable_default_cache(str(tmp_path / "xla"))
+    # conftest already activated the default cache for the suite; the
+    # call must report whichever dir is live, never None, and never crash.
+    assert isinstance(got, str) and got

@@ -462,3 +462,17 @@ def test_pack_key_orders_by_depth_then_id():
     assert keys[4] == np.uint32(_KEY_MAX)          # miss -> inert
     assert keys[1] < keys[0] < keys[2] < keys[3]   # z orders; id ties break low
     assert (keys[0] & ((1 << id_bits) - 1)) == 7   # id recoverable
+
+
+def test_decode_tri_matches_tables():
+    """Arithmetic id->(vertices, corner uvs) decode == the mesh tables."""
+    from gfx_ocean_tpu.render.raster import _decode_tri
+
+    for p, h in [(4, 8), (2, 5), (1, 3)]:
+        mesh = build_grid(h, p)
+        _, uvs, tris = instantiate(mesh)
+        ids = jnp.arange(tris.shape[0], dtype=jnp.int32)
+        vt, uvc = _decode_tri(ids, (p, h))
+        np.testing.assert_array_equal(np.asarray(vt), tris.astype(np.int32))
+        want_uv = uvs[tris.astype(np.int32)]            # (T, 3, 2)
+        np.testing.assert_allclose(np.asarray(uvc), want_uv, atol=1e-7)

@@ -8,6 +8,7 @@ stdlib server (ThreadingHTTPServer) wraps one jitted ``step``:
     GET /config            -> the OceanConfig as JSON
     GET /frame?t=12.5      -> .npz of (displacement[, normals][, foam])
     GET /frame.png?t=12.5  -> rendered PNG along the default camera
+    GET /frame.jpg?t=12.5  -> same, JPEG (17x cheaper encode, 4x smaller)
                               (&w=&h=&samples= override the viewport;
                               &px=&py=&pz=&rx=&ry=&rz= override the pose)
     GET /metrics           -> frames served, error count, latency EMA
@@ -28,6 +29,7 @@ stateless engine; the browser is the window and only forwards raw events:
                               -> reference key/touch semantics (camera.py)
     GET /session/frame.png    -> advance camera+clock by dt (wall-clock, or
                               &dt= for determinism), render current pose
+    GET /session/frame.jpg    -> same, JPEG (the viewer's format)
     GET /session/state        -> pose, sim time, frame-time EMA (title bar)
 """
 
@@ -95,7 +97,15 @@ class FrameService:
         return buf.getvalue()
 
     def frame_png(self, t: float, width: int, height: int, samples: int,
-                  camera=None, giants: int = 512) -> bytes:
+                  camera=None, giants: int = 512,
+                  fmt: str = "PNG") -> bytes:
+        """One rendered frame, PNG or JPEG encoded.
+
+        JPEG is the interactive-viewer default: encode measured 1.2 ms
+        vs PNG's ~20 ms at 480x280 (PNG spent more CPU per frame than
+        the TPU spends rendering it) and the payload is ~4x smaller
+        through the tunnel. PNG remains for lossless still export.
+        """
         from PIL import Image  # noqa: PLC0415
 
         from gfx_ocean_tpu.render.camera import Camera, perspective  # noqa: PLC0415
@@ -139,7 +149,10 @@ class FrameService:
                 giants=giants))
             srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
         buf = io.BytesIO()
-        Image.fromarray(srgb).save(buf, format="PNG")
+        if fmt.upper() in ("JPEG", "JPG"):
+            Image.fromarray(srgb).save(buf, format="JPEG", quality=88)
+        else:
+            Image.fromarray(srgb).save(buf, format="PNG")
         return buf.getvalue()
 
     def metrics(self) -> dict:
@@ -256,7 +269,7 @@ v.addEventListener('touchstart', e => {
 }, {passive: true});
 addEventListener('touchend', () => send('touch=ended'), {passive: true});
 let ema = null;
-const grab = () => fetch('/session/frame.png?w=480&h=280')
+const grab = () => fetch('/session/frame.jpg?w=480&h=280')
   .then(r => r.blob());
 // Two frames in flight, displayed in order: the server dispatches frame
 // n+1 to the TPU while frame n's pixels are still downloading.
@@ -323,8 +336,9 @@ def _make_handler(service: FrameService):
                 elif url.path == "/frame":
                     t = float(q.get("t", ["0"])[0])
                     self._send(200, service.frame_npz(t), "application/octet-stream")
-                elif url.path == "/frame.png":
+                elif url.path in ("/frame.png", "/frame.jpg"):
                     t = float(q.get("t", ["0"])[0])
+                    fmt = "JPEG" if url.path.endswith(".jpg") else "PNG"
                     w, h, s, g = _viewport(q)
                     camera = None
                     if any(k in q for k in ("px", "py", "pz", "rx", "ry", "rz")):
@@ -339,8 +353,8 @@ def _make_handler(service: FrameService):
                             [float(q.get(k, [d])[0]) for k, d in
                              zip(("rx", "ry", "rz"), DEFAULT_ROTATION)])
                     self._send(200, service.frame_png(t, w, h, s, camera,
-                                                      giants=g),
-                               "image/png")
+                                                      giants=g, fmt=fmt),
+                               f"image/{fmt.lower()}")
                 elif url.path == "/":
                     self._send(200, _VIEWER_HTML.encode(), "text/html")
                 elif url.path == "/session/input":
@@ -356,13 +370,14 @@ def _make_handler(service: FrameService):
                     else:
                         raise ValueError("need press=, release=, or touch=")
                     self._json(200, {"ok": True})
-                elif url.path == "/session/frame.png":
+                elif url.path in ("/session/frame.png", "/session/frame.jpg"):
+                    fmt = "JPEG" if url.path.endswith(".jpg") else "PNG"
                     w, h, s, g = _viewport(q)
                     dt = float(q["dt"][0]) if "dt" in q else None
                     t, cam = service.session.advance(dt)
                     self._send(200, service.frame_png(t, w, h, s, cam,
-                                                      giants=g),
-                               "image/png")
+                                                      giants=g, fmt=fmt),
+                               f"image/{fmt.lower()}")
                 elif url.path == "/session/state":
                     self._json(200, service.session.state())
                 else:

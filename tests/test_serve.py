@@ -76,7 +76,20 @@ def test_viewer_page(server):
     base, _ = server
     code, body, ctype = _get(base + "/")
     assert code == 200 and ctype == "text/html"
-    assert b"/session/frame.png" in body and b"/session/input" in body
+    assert b"/session/frame.jpg" in body and b"/session/input" in body
+
+
+def test_session_frame_jpg(server):
+    base, _ = server
+    code, body, ctype = _get(base + "/session/frame.jpg?w=64&h=48")
+    assert code == 200 and ctype == "image/jpeg"
+    assert body[:2] == b"\xff\xd8"  # JPEG SOI marker
+
+
+def test_frame_jpg_stateless(server):
+    base, _ = server
+    code, body, ctype = _get(base + "/frame.jpg?t=1.5&w=64&h=48")
+    assert code == 200 and ctype == "image/jpeg" and len(body) > 500
 
 
 def test_frame_png_pose_override(server):

@@ -28,7 +28,7 @@ import numpy as np
 
 STEPS = 600
 REPEATS = 5
-TIME_BATCH = 4
+TIME_BATCH = 6   # sweeps on the pallas step: tb=6/8 beat tb=4 by ~2-5%
 BASELINE_STEPS_PER_SEC = 5000.0
 ACCURACY_GATE = 1e-4
 

@@ -308,7 +308,8 @@ def cmd_render(args) -> int:
         img = np.asarray(render_frame(
             fields.displacement, cam, width=args.width, height=args.height,
             mesh_resolution=config.mesh_resolution,
-            num_patches=config.num_patches, samples=args.samples))
+            num_patches=config.num_patches, samples=args.samples,
+            foam=fields.foam))  # --foam mixes whitecaps into the albedo
         path = os.path.join(args.out, f"frame_{i:05d}")
         np.save(path + ".npy", img)
         try:

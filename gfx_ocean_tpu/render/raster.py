@@ -318,7 +318,7 @@ def _decode_tri(id_img, grid_shape):
 
 def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
                     camera_pos, width: int, height: int, id_bits: int,
-                    grid_shape=None):
+                    grid_shape=None, foam=None):
     """Per-pixel varying reconstruction + fragment shading from the
     winning visibility-key image. Perspective-correct uv/world via the
     same lambda weights; the EXACT f32 depth is recomputed here from the
@@ -355,7 +355,7 @@ def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
     world_img = interp(world[vt])
 
     color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
-                               world_img, camera_pos)
+                               world_img, camera_pos, foam=foam)
     clear = jnp.asarray(sh.CLEAR_COLOR)
     return jnp.where(covered[..., None], color, clear[None, None]), z_img
 
@@ -379,7 +379,8 @@ def _auto_pool(width: int, height: int) -> int:
                                     "grid_shape"))
 def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
                     width: int, height: int, pool: int = 1 << 20,
-                    giants: int = 512, interp=None, grid_shape=None):
+                    giants: int = 512, interp=None, grid_shape=None,
+                    foam=None):
     """Exact-area pool rasterizer (see module docstring). Coverage and
     depth are identical to ``_rasterize`` (the window impl) by
     construction: both evaluate the same edge/denominator tests at the
@@ -534,7 +535,7 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
 
     img, z_img = _deferred_shade(displacement, world, clip, tris, uvs,
                                  key_img, camera_pos, width, height, id_bits,
-                                 grid_shape)
+                                 grid_shape, foam)
     return img, z_img
 
 
@@ -576,7 +577,7 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
                                     "grid_shape"))
 def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                width: int, height: int, samples: int, giants: int = 512,
-               interp=None, grid_shape=None):
+               interp=None, grid_shape=None, foam=None):
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
                                 interp)
 
@@ -691,7 +692,7 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                           giants, id_bits)
     img, z_img = _deferred_shade(displacement, world, clip, tris_all, uvs,
                                  key_img, camera_pos, width, height, id_bits,
-                                 grid_shape)
+                                 grid_shape, foam)
     return img, z_img
 
 
@@ -707,6 +708,7 @@ def render_frame(
     return_depth: bool = False,
     impl: str = "pool",
     pool: int | None = None,
+    foam: jnp.ndarray | None = None,
 ):
     """Render one frame from a displacement map along a camera.
 
@@ -715,6 +717,9 @@ def render_frame(
             /3.0 and /3.5 visual scales of ``ocean.vert:22-23`` are applied
             here, in the vertex stage).
         camera: a ``render.camera.Camera`` (numpy, host-side).
+        foam: optional (N, N) whitecap coverage mask mixed into the albedo
+            (``shade.shade_fragments``) — an extension beyond the
+            reference's fragment shader; None renders reference-faithful.
         impl: "pool" (fast exact-area path, default) or "window" (the
             fixed-budget golden path; honors ``samples``).
         pool: sample-slot pool size for impl="pool" (default: sized from
@@ -730,14 +735,16 @@ def render_frame(
     view_proj = jnp.asarray((proj @ camera.view()).astype(np.float32))
     args = (jnp.asarray(displacement), positions, uvs, tris, view_proj,
             jnp.asarray(camera.position.astype(np.float32)))
+    foam_dev = None if foam is None else jnp.asarray(foam)
     if impl == "pool":
         img, depth = _rasterize_pool(*args, width, height,
                                      pool or _auto_pool(width, height),
                                      giants, interp,
-                                     (num_patches, mesh_resolution))
+                                     (num_patches, mesh_resolution), foam_dev)
     elif impl == "window":
         img, depth = _rasterize(*args, width, height, samples, giants,
-                                interp, (num_patches, mesh_resolution))
+                                interp, (num_patches, mesh_resolution),
+                                foam_dev)
     else:
         raise ValueError(f"impl must be 'pool' or 'window', got {impl!r}")
     if return_depth:
@@ -777,11 +784,14 @@ def make_frame_renderer(
     @_ft.partial(jax.jit, donate_argnums=())
     def fn(state, t, view_proj, camera_pos):
         fields = _ocean_step(state, t, config)
+        foam = fields.foam if (config.compute_foam
+                               and config.num_cascades == 1) else None
         img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
                                  view_proj, camera_pos, width, height,
                                  pool or _auto_pool(width, height), giants,
                                  interp,
-                                 (config.num_patches, config.mesh_resolution))
+                                 (config.num_patches, config.mesh_resolution),
+                                 foam)
         # sRGB encode on device (matches the host-side conversion in
         # serve.py / cli.py render: gamma 1/2.2, truncating cast).
         return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(jnp.uint8)

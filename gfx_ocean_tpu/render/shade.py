@@ -143,14 +143,52 @@ def fragment_normals(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
     return _normalize(jnp.cross(na, nb))
 
 
-def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos) -> jnp.ndarray:
-    """Full ``ocean.frag`` color for pixel arrays. Returns (..., 3)."""
+FOAM_COLOR = np.array([0.92, 0.96, 0.98], dtype=np.float32)
+
+
+def sample_mask_bilinear(mask: jnp.ndarray, u, v) -> jnp.ndarray:
+    """Bilinear-sample an (N, N) scalar mask with repeat wrap, via the
+    same packed table-row gather as the normal taps (one contiguous row
+    gather instead of four (1, 1) texture gathers — ~10x cheaper on TPU).
+    f16 lane precision is ample for a [0, 1] coverage mask."""
+    n_y, n_x = mask.shape
+    t0 = _pack_f16_pair(mask, jnp.roll(mask, -1, axis=1))
+    tab = jnp.stack([t0, jnp.roll(t0, -1, axis=0)],
+                    axis=-1).reshape(n_y * n_x, 2)
+    x = u * n_x - 0.5
+    y = v * n_y - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.mod(x0.astype(jnp.int32), n_x)
+    y0i = jnp.mod(y0.astype(jnp.int32), n_y)
+    rows = jnp.moveaxis(tab[y0i * n_x + x0i], -1, 0)    # (2, ...)
+    a00, a10 = _unpack_f16_pair(rows[0])
+    a01, a11 = _unpack_f16_pair(rows[1])
+    return ((a00 * (1 - fx) + a10 * fx) * (1 - fy)
+            + (a01 * (1 - fx) + a11 * fx) * fy)
+
+
+def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,
+                    foam: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Full ``ocean.frag`` color for pixel arrays. Returns (..., 3).
+
+    ``foam`` (optional, BEYOND the reference — its fragment shader has no
+    whitecaps): a (N, N) [0, 1] coverage mask (``ops/derived.jacobian_foam``).
+    Bilinear-sampled and mixed into the albedo before lighting, so the
+    Fresnel/NdotL terms still apply; ``foam=None`` (the default) is
+    bit-identical to the reference-faithful path.
+    """
     n = fragment_normals(displacement, u, v)
 
     depth = 1.0 - jnp.clip((world_pos[..., 1] + 10.0) / 50.0, 0.0, 1.5) ** 1.2
     albedo = SHALLOW[None] * (1.0 - depth[..., None]) + DEEP[None] * depth[..., None]
     # NB: mix(shallow, deep, depth) == shallow*(1-depth) + deep*depth; with
     # the clamp to 1.5 the mix can extrapolate, exactly as in GLSL.
+    if foam is not None:
+        f = jnp.clip(sample_mask_bilinear(foam, u, v), 0.0, 1.0)[..., None]
+        albedo = albedo * (1.0 - f) + jnp.asarray(FOAM_COLOR)[None] * f
 
     light = jnp.asarray(LIGHT_DIR)
     view = _normalize(jnp.asarray(camera_pos) - world_pos)

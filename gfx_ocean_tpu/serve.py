@@ -141,12 +141,12 @@ class FrameService:
         else:
             from gfx_ocean_tpu.render import render_frame  # noqa: PLC0415
 
-            disp = self.fields(t)["displacement"]
+            arrays = self.fields(t)
             img = np.asarray(render_frame(
-                disp, camera, width=width, height=height,
+                arrays["displacement"], camera, width=width, height=height,
                 mesh_resolution=self.config.mesh_resolution,
                 num_patches=self.config.num_patches, samples=samples,
-                giants=giants))
+                giants=giants, foam=arrays.get("foam")))
             srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
         buf = io.BytesIO()
         if fmt.upper() in ("JPEG", "JPG"):

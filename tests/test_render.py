@@ -476,3 +476,46 @@ def test_decode_tri_matches_tables():
         np.testing.assert_array_equal(np.asarray(vt), tris.astype(np.int32))
         want_uv = uvs[tris.astype(np.int32)]            # (T, 3, 2)
         np.testing.assert_allclose(np.asarray(uvc), want_uv, atol=1e-7)
+
+
+def test_sample_mask_bilinear_matches_generic_sampler():
+    mask = np.random.default_rng(7).random((16, 16)).astype(np.float32)
+    u = jnp.asarray(np.random.default_rng(8).random(40).astype(np.float32))
+    v = jnp.asarray(np.random.default_rng(9).random(40).astype(np.float32))
+    got = np.asarray(sh.sample_mask_bilinear(jnp.asarray(mask), u, v))
+    want = np.asarray(sh._sample_bilinear_wrap(
+        jnp.asarray(mask)[..., None], u, v))[..., 0]
+    # f16 lane packing: ~1e-3 relative on a [0, 1] mask
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_foam_whitens_fragments():
+    disp = jnp.zeros((16, 16, 3), jnp.float32)
+    u = v = jnp.asarray([0.5])
+    pos = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    cam = jnp.asarray([0.0, 50.0, 100.0], jnp.float32)
+    base = np.asarray(sh.shade_fragments(disp, u, v, pos, cam))
+    foamy = np.asarray(sh.shade_fragments(
+        disp, u, v, pos, cam, foam=jnp.ones((16, 16), jnp.float32)))
+    none_foam = np.asarray(sh.shade_fragments(
+        disp, u, v, pos, cam, foam=jnp.zeros((16, 16), jnp.float32)))
+    assert foamy.sum() > base.sum() * 1.5          # whitecaps brighten
+    np.testing.assert_allclose(none_foam, base, atol=1e-6)  # zero mask inert
+
+
+def test_render_frame_with_foam():
+    """Foam plumbed through the full raster path brightens covered pixels
+    and leaves coverage identical; foam=None stays the default path."""
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    plain, z0 = render_frame(disp, Camera(), width=96, height=64,
+                             mesh_resolution=32, return_depth=True)
+    foamed, z1 = render_frame(disp, Camera(), width=96, height=64,
+                              mesh_resolution=32, return_depth=True,
+                              foam=jnp.ones((64, 64), jnp.float32))
+    plain, foamed = np.asarray(plain), np.asarray(foamed)
+    np.testing.assert_array_equal(np.isfinite(np.asarray(z0)),
+                                  np.isfinite(np.asarray(z1)))
+    covered = np.isfinite(np.asarray(z0))
+    assert foamed[covered].mean() > plain[covered].mean() * 1.3

@@ -47,8 +47,18 @@ def main() -> None:
     # Fused single-kernel Pallas step: the fastest AND most accurate 512^2
     # config in the benchmark matrix (docs/BENCH.md config 6 vs config 2).
     # The matmul-DFT path is the fallback if the Pallas kernel ever fails
-    # to compile in a fresh environment — the headline must not void.
-    cfg = ot.OceanConfig(fft_impl="pallas", matmul_precision="bf16x3")
+    # in a fresh environment — the headline must not void. The fallback
+    # RE-EXECS this script rather than continuing in-process: one axon
+    # runtime error can poison subsequent ops in the same process
+    # (.claude/skills/verify/SKILL.md), so in-process fallback numbers
+    # would be untrustworthy. The JSON detail records which config ran.
+    import os
+    import sys
+
+    if os.environ.get("GFX_OCEAN_BENCH_FALLBACK"):
+        cfg = ot.OceanConfig()  # matmul DFT, explicit-split bf16x3
+    else:
+        cfg = ot.OceanConfig(fft_impl="pallas", matmul_precision="bf16x3")
     state = ot.ocean_state_from_assets(resolution=cfg.resolution)
 
     # --- accuracy gate ---------------------------------------------------
@@ -56,10 +66,13 @@ def main() -> None:
     try:
         disp = np.asarray(
             ot.make_step(cfg)(state, jnp.float32(t_check)).displacement)
-    except Exception:  # noqa: BLE001 - pallas fallback, see above
-        cfg = ot.OceanConfig()  # matmul DFT, explicit-split bf16x3
-        disp = np.asarray(
-            ot.make_step(cfg)(state, jnp.float32(t_check)).displacement)
+    except Exception as e:  # noqa: BLE001 - pallas fallback, see above
+        if cfg.fft_impl != "pallas":
+            raise
+        print(f"pallas step failed ({type(e).__name__}: {str(e)[:200]}); "
+              "re-exec on the matmul-DFT path", file=sys.stderr)
+        os.environ["GFX_OCEAN_BENCH_FALLBACK"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     want = golden_fields(from_pair_np(np.asarray(state.h0)), np.asarray(state.omega),
                          t_check, cfg.domain_size, cfg.compat)
     rel_linf = float(np.abs(disp - want).max() / np.abs(want).max())
@@ -130,17 +143,23 @@ def _sharded_record():
 
 
 if __name__ == "__main__":
-    # The tunneled TPU backend occasionally drops a request; one retry in a
-    # fresh attempt keeps a single flake from voiding the benchmark record.
+    # The tunneled TPU backend occasionally drops a request; one retry
+    # keeps a single flake from voiding the benchmark record. The retry
+    # RE-EXECS into a fresh process: a failed axon op can poison later
+    # ops in the same process (.claude/skills/verify/SKILL.md).
     try:
         main()
     except SystemExit:
         raise
     except Exception as e:  # noqa: BLE001
+        import os
         import sys
         import traceback
 
         traceback.print_exc()
-        print(f"bench attempt 1 failed ({type(e).__name__}); retrying once",
-              file=sys.stderr)
-        main()
+        if os.environ.get("GFX_OCEAN_BENCH_RETRIED"):
+            raise
+        print(f"bench attempt 1 failed ({type(e).__name__}); retrying in a "
+              "fresh process", file=sys.stderr)
+        os.environ["GFX_OCEAN_BENCH_RETRIED"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -222,8 +222,15 @@ def _pack_key(z, tri_id, hit, id_bits: int):
     impl's original scatter-min + gather + scatter triple.
     """
     z_bits = 32 - id_bits
-    zq = jnp.clip((z * 0.5 + 0.5) * ((1 << z_bits) - 1), 0.0,
-                  float((1 << z_bits) - 1)).astype(jnp.uint32)
+    # Quantize with an INTEGER clamp to 2^z_bits - 2: a float clamp bound
+    # of 2^z_bits - 1 rounds to 2^z_bits in f32 for z_bits >= 25 (small
+    # meshes), overflowing the field; and capping one quantum below the
+    # top keeps the max legitimate key strictly below _KEY_MAX, so a
+    # max-id far-plane hit can never alias the no-hit sentinel.
+    zq = jnp.minimum(
+        jnp.clip((z * 0.5 + 0.5) * float(1 << z_bits), 0.0,
+                 float((1 << z_bits) - 2)).astype(jnp.uint32),
+        jnp.uint32((1 << z_bits) - 2))
     key = (zq << id_bits) | tri_id.astype(jnp.uint32)
     return jnp.where(hit, key, _KEY_MAX)
 
@@ -436,7 +443,16 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     assert width < (1 << min(16, bw_bits)) and height < (1 << 15), (
         "viewport too wide for the packed slot table at this mesh size")
     crossing_visible = crossing & ~outside
-    pack_xy = (x0.astype(jnp.uint32) | (y0.astype(jnp.uint32) << 16)
+    # Clamp the packed coords into the viewport: x0/y0 are only clamped
+    # BELOW above, and a fully-front triangle with tiny w (just in front
+    # of the eye plane, projecting far off-screen) can have y0 >= 2^15,
+    # which would bleed into the crossing bit and spuriously score it
+    # inf in the gather pass (junk giants evicting real ones). Live
+    # (area > 0) triangles always satisfy x0 <= x1 < width etc., so the
+    # clamp never changes a slot-pass value.
+    x0c = jnp.clip(x0, 0, width - 1).astype(jnp.uint32)
+    y0c = jnp.clip(y0, 0, height - 1).astype(jnp.uint32)
+    pack_xy = (x0c | (y0c << 16)
                | (crossing_visible.astype(jnp.uint32) << 31))
     pack_bw = (jnp.maximum(bw, 1).astype(jnp.uint32)
                | (jnp.arange(t_count, dtype=jnp.uint32) << bw_bits))
@@ -499,7 +515,7 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     px = px0 + 2 * col2
     py = py0 + q.astype(jnp.int32)
 
-    frow = ftab[tri_id].T                               # (16, P)
+    frow = ftab[tri_id].T                               # (15, P)
     pny = 2.0 * (py.astype(jnp.float32) + 0.5) / height - 1.0
     keybuf = jnp.full((spill + 1,), _KEY_MAX, jnp.uint32)
     # Both pixels of the pair evaluate the FULL edge expressions (not an

@@ -81,41 +81,26 @@ def _unpack_f16_pair(p: jnp.ndarray):
     return lo.astype(jnp.float32), hi.astype(jnp.float32)
 
 
-def fragment_normals(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
-    """textureOffset +-1 taps on the raw height channel (``ocean.frag:54-67``).
+def _packed_table_bilerp(planes, u, v):
+    """Bilinear-sample each (N, N) f32 plane at (u, v), repeat wrap, all
+    planes through ONE packed table-row gather.
 
-    GLSL ``textureOffset`` shifts the sampled TEXEL by exactly one, keeping
-    the bilinear fraction — so ``tap(u+du) - tap(u-du)`` equals the
-    bilinear sample of the centered-difference map
-    ``dxh[j, i] = h[j, i+1] - h[j, i-1]`` (both are the same weighted sum
-    of texel differences), replacing the 16 gathers of the naive 4-tap
-    form. The remaining 4-corner taps of dxh and dzh would be 8 f32
-    gathers (complex packing does NOT help: XLA lowers a complex gather
-    to separate re/im gathers — measured), so the x-adjacent pair is
-    packed as two f16 lanes of ONE uint32 texture, with the +1-row shift
-    baked into a second texture: 4 uint32 gathers at the same (y0, x0)
-    index fetch all 8 taps. Slopes are pre-scaled by 1 / HEIGHT_SCALE
-    before the f16 round so the magnitude is O(1) (no overflow at any
-    grid size); the f16 mantissa keeps slopes to ~1e-3 relative, well
-    under visibility, and shading is clamped (``max(0.7, NdotL)``) over
-    most of the field anyway.
+    Packs (plane[y, x], plane[y, x+1]) as the f16 lanes of a uint32 and
+    bakes the +1-row shift into a second column per plane, so a
+    (N^2, 2 * len(planes)) table gathered once at the flat (y0, x0)
+    index yields all four bilinear corners of every plane —
+    contiguous-row table gathers measure ~5-10x cheaper per element than
+    (1, 1) texture gathers on TPU, and a handful of uint32 columns stays
+    under the minor-dim tiling trap (CLAUDE.md render notes). f16 lane
+    precision bounds each plane to ~1e-3 relative of its own magnitude.
+    Returns one lerped array per plane (shape of ``u``).
     """
-    h = displacement[..., 1]
-    inv_scale = 1.0 / HEIGHT_SCALE
-    dxh = (jnp.roll(h, -1, axis=1) - jnp.roll(h, 1, axis=1)) * inv_scale
-    dzh = (jnp.roll(h, -1, axis=0) - jnp.roll(h, 1, axis=0)) * inv_scale
-    n_y, n_x = h.shape
-    # One (N^2, 4)-column table: (val[y, x], val[y, x+1]) in the f16
-    # lanes, row y0 and row y0+1 variants for each of dxh / dzh. All 8
-    # taps arrive in ONE row gather at the flat (y0, x0) index —
-    # contiguous-row table gathers measure ~5-10x cheaper per element
-    # than (1, 1) texture gathers on TPU, and 4 u32 columns stay under
-    # the minor-dim tiling trap (see CLAUDE.md render notes).
-    tex_x0 = _pack_f16_pair(dxh, jnp.roll(dxh, -1, axis=1))
-    tex_z0 = _pack_f16_pair(dzh, jnp.roll(dzh, -1, axis=1))
-    dtab = jnp.stack([tex_x0, jnp.roll(tex_x0, -1, axis=0),
-                      tex_z0, jnp.roll(tex_z0, -1, axis=0)],
-                     axis=-1).reshape(n_y * n_x, 4)
+    n_y, n_x = planes[0].shape
+    cols = []
+    for plane in planes:
+        t0 = _pack_f16_pair(plane, jnp.roll(plane, -1, axis=1))
+        cols += [t0, jnp.roll(t0, -1, axis=0)]
+    tab = jnp.stack(cols, axis=-1).reshape(n_y * n_x, len(cols))
 
     x = u * n_x - 0.5
     y = v * n_y - 0.5
@@ -125,17 +110,40 @@ def fragment_normals(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
     fy = y - y0
     x0i = jnp.mod(x0.astype(jnp.int32), n_x)
     y0i = jnp.mod(y0.astype(jnp.int32), n_y)
+    rows = jnp.moveaxis(tab[y0i * n_x + x0i], -1, 0)    # (2 * planes, ...)
 
-    rows = jnp.moveaxis(dtab[y0i * n_x + x0i], -1, 0)   # (4, ...)
+    out = []
+    for k in range(len(planes)):
+        a00, a10 = _unpack_f16_pair(rows[2 * k])
+        a01, a11 = _unpack_f16_pair(rows[2 * k + 1])
+        out.append((a00 * (1 - fx) + a10 * fx) * (1 - fy)
+                   + (a01 * (1 - fx) + a11 * fx) * fy)
+    return out
 
-    def bilerp(t0, t1):
-        a00, a10 = _unpack_f16_pair(t0)
-        a01, a11 = _unpack_f16_pair(t1)
-        return ((a00 * (1 - fx) + a10 * fx) * (1 - fy)
-                + (a01 * (1 - fx) + a11 * fx) * fy)
 
-    gx = bilerp(rows[0], rows[1])
-    gz = bilerp(rows[2], rows[3])
+def fragment_normals(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
+    """textureOffset +-1 taps on the raw height channel (``ocean.frag:54-67``).
+
+    GLSL ``textureOffset`` shifts the sampled TEXEL by exactly one, keeping
+    the bilinear fraction — so ``tap(u+du) - tap(u-du)`` equals the
+    bilinear sample of the centered-difference map
+    ``dxh[j, i] = h[j, i+1] - h[j, i-1]`` (both are the same weighted sum
+    of texel differences), replacing the 16 gathers of the naive 4-tap
+    form. The remaining 4-corner taps of dxh and dzh ride ONE packed
+    table-row gather (``_packed_table_bilerp``; complex packing does NOT
+    help — XLA lowers a complex gather to separate re/im gathers,
+    measured). Slopes are pre-scaled by 1 / HEIGHT_SCALE before the f16
+    lane round so the magnitude is O(1) (no overflow at any grid size);
+    the f16 mantissa keeps slopes to ~1e-3 relative, well under
+    visibility, and shading is clamped (``max(0.7, NdotL)``) over most
+    of the field anyway.
+    """
+    h = displacement[..., 1]
+    inv_scale = 1.0 / HEIGHT_SCALE
+    dxh = (jnp.roll(h, -1, axis=1) - jnp.roll(h, 1, axis=1)) * inv_scale
+    dzh = (jnp.roll(h, -1, axis=0) - jnp.roll(h, 1, axis=0)) * inv_scale
+    n_y, n_x = h.shape
+    gx, gz = _packed_table_bilerp([dxh, dzh], u, v)
     diff_x = 2.0 / n_x
     diff_y = 2.0 / n_y
     na = _normalize(jnp.stack([jnp.full_like(gx, -diff_x), gx, jnp.zeros_like(gx)], -1))
@@ -151,23 +159,7 @@ def sample_mask_bilinear(mask: jnp.ndarray, u, v) -> jnp.ndarray:
     same packed table-row gather as the normal taps (one contiguous row
     gather instead of four (1, 1) texture gathers — ~10x cheaper on TPU).
     f16 lane precision is ample for a [0, 1] coverage mask."""
-    n_y, n_x = mask.shape
-    t0 = _pack_f16_pair(mask, jnp.roll(mask, -1, axis=1))
-    tab = jnp.stack([t0, jnp.roll(t0, -1, axis=0)],
-                    axis=-1).reshape(n_y * n_x, 2)
-    x = u * n_x - 0.5
-    y = v * n_y - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0i = jnp.mod(x0.astype(jnp.int32), n_x)
-    y0i = jnp.mod(y0.astype(jnp.int32), n_y)
-    rows = jnp.moveaxis(tab[y0i * n_x + x0i], -1, 0)    # (2, ...)
-    a00, a10 = _unpack_f16_pair(rows[0])
-    a01, a11 = _unpack_f16_pair(rows[1])
-    return ((a00 * (1 - fx) + a10 * fx) * (1 - fy)
-            + (a01 * (1 - fx) + a11 * fx) * fy)
+    return _packed_table_bilerp([mask], u, v)[0]
 
 
 def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,

@@ -519,3 +519,41 @@ def test_render_frame_with_foam():
                                   np.isfinite(np.asarray(z1)))
     covered = np.isfinite(np.asarray(z0))
     assert foamed[covered].mean() > plain[covered].mean() * 1.3
+
+
+def test_pack_key_small_mesh_far_plane():
+    """Regression: far-plane hits on tiny meshes must not wrap the key
+    (id_bits<=7 made the f32 quantizer reach 2^z_bits) nor alias the
+    no-hit sentinel at max id (key == _KEY_MAX rendered a covered pixel
+    as background)."""
+    from gfx_ocean_tpu.render.raster import _KEY_MAX, _pack_key
+
+    z_far = jnp.asarray([np.float32(1.0) - np.float32(2 ** -24)])  # < 1.0
+    hit = jnp.asarray([True])
+    # tiny mesh: id_bits=3 -> z_bits=29; far hit must still lose to near
+    far = np.asarray(_pack_key(z_far, jnp.asarray([5], jnp.int32), hit, 3))
+    near = np.asarray(_pack_key(jnp.asarray([0.0]),
+                                jnp.asarray([5], jnp.int32), hit, 3))
+    assert near[0] < far[0] < np.uint32(_KEY_MAX)
+    # max id at the far plane: must not equal the sentinel
+    k = np.asarray(_pack_key(z_far, jnp.asarray([(1 << 15) - 1], jnp.int32),
+                             hit, 15))
+    assert k[0] < np.uint32(_KEY_MAX)
+
+
+def test_pool_matches_window_low_grazing_camera():
+    """Regression for the packed crossing-bit bleed: a camera skimming
+    just above the surface puts fully-front triangles with tiny clip w
+    (huge off-screen bbox coords) in the scene; coverage must still
+    match the window golden exactly."""
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    cam = Camera()
+    cam.position = np.array([30.0, 1.2, 40.0])
+    cam.rotation = np.array([0.05, 0.3, 0.0])   # nearly level, slight up
+    img_p, z_p, img_w, z_w = _render_both(disp, cam, 80, 48, 32)
+    np.testing.assert_array_equal(np.isfinite(z_p), np.isfinite(z_w))
+    both = np.isfinite(z_p) & np.isfinite(z_w)
+    np.testing.assert_allclose(z_p[both], z_w[both], rtol=0, atol=2e-6)
+    np.testing.assert_allclose(img_p, img_w, atol=1e-4)

@@ -141,6 +141,53 @@ def _mesh_constants(mesh_resolution: int, num_patches: int):
             jnp.asarray(tris.astype(np.int32)))
 
 
+_SCAN_LANES = 128
+
+
+def _prefix_sum_mxu(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum of a 1-D int32 array via two triangular
+    matmuls on the MXU.
+
+    ``jnp.cumsum`` lowers to a lane-dimension scan on TPU — measured
+    ~2.4 ms for only a few hundred K elements, one of the largest single
+    ops in the rasterizer. A prefix sum is a matmul against a triangular
+    ones matrix: reshape to (R, 128) rows, within-row inclusive cumsum =
+    X @ U (upper-triangular ones, 128^2), then exclusive row offsets via
+    the same trick over the R row totals, broadcast-added back.
+
+    EXACTNESS DOMAIN: results are exact while every partial sum stays
+    below 2^24 (f32 integer range; 'highest' keeps products exact).
+    Both call sites are safe past that: the slot machinery only consumes
+    prefix values near or below ``pool`` (~2^18, exact) — entries whose
+    running total exceeds 2^24 are already far past the pool and only
+    feed the (cum > pool) overflow boolean and start >= pool masks,
+    which an ulp of error cannot flip at that magnitude. segd sums are
+    bounded by the triangle count (< 2^24). Exactness in the bounded
+    domain is asserted by a direct unit test against ``jnp.cumsum`` and
+    by the pool==window equality tests, which depend on exact slot
+    arithmetic.
+    """
+    n = x.shape[0]
+    rows = -(-n // _SCAN_LANES)
+    xf = jnp.zeros((rows * _SCAN_LANES,), jnp.float32).at[:n].set(
+        x.astype(jnp.float32)).reshape(rows, _SCAN_LANES)
+    upper = jnp.triu(jnp.ones((_SCAN_LANES, _SCAN_LANES), jnp.float32))
+    within = jnp.dot(xf, upper, precision="highest")     # (R, 128) inclusive
+    totals = within[:, -1]                               # (R,)
+    rows2 = -(-rows // _SCAN_LANES)
+    tf = jnp.zeros((rows2 * _SCAN_LANES,), jnp.float32).at[:rows].set(
+        totals).reshape(rows2, _SCAN_LANES)
+    t_within = jnp.dot(tf, upper, precision="highest")
+    t_tot = t_within[:, -1]
+    # rows2 is tiny (<= ~16 for any realistic pool): close the recursion
+    # with one more triangular matmul over the row2 totals.
+    upper2 = jnp.triu(jnp.ones((rows2, rows2), jnp.float32))
+    t2 = jnp.dot(t_tot[None, :], upper2, precision="highest")[0]
+    t_incl = (t_within + (t2 - t_tot)[:, None]).reshape(-1)[:rows]
+    offsets = t_incl - totals                            # exclusive
+    return (within + offsets[:, None]).reshape(-1)[:n].astype(jnp.int32)
+
+
 def _tri_corners(clip, tris, grid_shape=None):
     """``clip[tris]`` without the gather for the standard grid mesh.
 
@@ -464,7 +511,7 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     area_s, xy_s, bwid_s, order = jax.lax.sort(
         (area, pack_xy, pack_bw, jnp.arange(t_count, dtype=jnp.int32)),
         num_keys=1)
-    cum = jnp.cumsum(area_s)
+    cum = _prefix_sum_mxu(area_s)
     start = cum - area_s
     n_zero = t_count - jnp.sum(area_s > 0)
 
@@ -487,7 +534,8 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     bmask = (area_s > 0) & (start < pool)
     bidx = jnp.where(bmask, start, pool)                # pool = spill row
     segd = jnp.zeros((pool + 1,), jnp.int32).at[bidx].add(1)
-    sorted_idx = jnp.clip(n_zero + jnp.cumsum(segd[:-1]) - 1, 0, t_count - 1)
+    sorted_idx = jnp.clip(n_zero + _prefix_sum_mxu(segd[:-1]) - 1, 0,
+                          t_count - 1)
 
     # One packed-row gather per slot per table (gathers of contiguous
     # rows are cheap; measured ~2 ms/M — it's the scatters that are not).

@@ -557,3 +557,17 @@ def test_pool_matches_window_low_grazing_camera():
     both = np.isfinite(z_p) & np.isfinite(z_w)
     np.testing.assert_allclose(z_p[both], z_w[both], rtol=0, atol=2e-6)
     np.testing.assert_allclose(img_p, img_w, atol=1e-4)
+
+
+def test_prefix_sum_mxu_matches_cumsum():
+    from gfx_ocean_tpu.render.raster import _prefix_sum_mxu
+
+    rng = np.random.default_rng(11)
+    # exact while running totals stay < 2^24 (see the docstring); value
+    # ranges here keep the largest total just under that bound
+    for n, hi in ((1, 1000), (7, 1000), (128, 1000), (129, 1000),
+                  (16384, 1000), (524289, 60)):
+        x = jnp.asarray(rng.integers(0, hi, n, dtype=np.int32))
+        assert int(np.asarray(x).sum()) < 2 ** 24
+        np.testing.assert_array_equal(np.asarray(_prefix_sum_mxu(x)),
+                                      np.cumsum(np.asarray(x)))

@@ -1,7 +1,7 @@
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/gfx_ocean_tpu/xla")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import time, numpy as np, jax.numpy as jnp
 import gfx_ocean_tpu as ot

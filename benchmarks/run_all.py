@@ -224,6 +224,14 @@ def main() -> None:
     render["fused_step_render_srgb8_ms"] = _median_ms(
         lambda: np.asarray(fr(st512, jnp.float32(11.25), vp, cp)))
     render["viewport"] = "480x280, 128^2 mesh, 4 patches"
+    # viewport scaling of the fused path (per-slot work scales with the
+    # pool ~ 1.5x W x H; the reference's window is 1200x700)
+    for w2, h2 in ((960, 540), (1200, 700)):
+        fr2 = _mfr(ot.OceanConfig(), width=w2, height=h2)
+        vp2 = jnp.asarray((_persp(w2 / h2) @ _Cam().view()).astype(np.float32))
+        render[f"fused_{w2}x{h2}_ms"] = _median_ms(
+            lambda f=fr2, v=vp2: np.asarray(f(st512, jnp.float32(11.25),
+                                              v, cp)))
     configs["8_render_interactive"] = render
 
     # config 7: sharded rollout (multi-chip surface). Real multi-chip

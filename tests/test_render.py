@@ -336,7 +336,7 @@ def test_pool_matches_window_fuzz_cameras():
     cfg = ot.OceanConfig(resolution=64, compute_normals=False)
     disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
     rng = np.random.default_rng(3)
-    for _ in range(6):
+    for _ in range(10):
         cam = Camera()
         cam.position = np.array([rng.uniform(-20, 80), rng.uniform(1, 60),
                                  rng.uniform(-20, 130)])

@@ -290,7 +290,13 @@ def make_uniform_rollout(config: OceanConfig, steps: int, dt: float,
         sd = jnp.sin(phase_d)
 
         def exact_cs(i):
-            ph = state.omega * (t0 + i.astype(jnp.float32) * jnp.float32(dt))
+            # Dekker-corrected phase, like every other propagate path: a
+            # plain f32 product is ~3e-4 rad off at t ~ 1000 s, past the
+            # 1e-4 field budget (ops/propagate._phase_mod_2pi docstring).
+            from gfx_ocean_tpu.ops.propagate import _phase_mod_2pi  # noqa: PLC0415
+
+            t = t0 + i.astype(jnp.float32) * jnp.float32(dt)
+            ph = _phase_mod_2pi(state.omega, t)
             return jnp.cos(ph), jnp.sin(ph)
 
         def body(carry, i):

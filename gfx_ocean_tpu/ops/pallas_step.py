@@ -48,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gfx_ocean_tpu.config import OceanConfig
+from gfx_ocean_tpu.ops.propagate import _phase_mod_2pi
 from gfx_ocean_tpu.ops.fft import _dft_matrix_out_alt_np
 
 
@@ -70,6 +71,12 @@ def _make_dot(precision: str):
         # equivalent (bf16x4's extra lo*lo term is below the scheme's
         # noise floor in-kernel).
         return _dot3
+    if precision not in ("highest", "default"):
+        # Mirror ops/fft.resolve_precision: an unknown tier must raise,
+        # not silently run single-pass bf16 (~1e-2 error) physics.
+        raise ValueError(
+            f"unknown matmul precision {precision!r}; options: "
+            "['bf16x3', 'bf16x4', 'default', 'high', 'highest']")
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
 
@@ -135,7 +142,11 @@ def _step_kernel(
 ):
     dot = _make_dot(precision)
     t = t_ref[0, 0]
-    phase = omega_ref[:, :] * t
+    # Dekker-corrected phase, same as the jnp hot path: a plain f32
+    # product loses ~|omega*t| * 2^-24 rad (~3e-4 at t ~ 1000 s), which
+    # would break the pallas/matmul numerical equivalence at resumed
+    # large absolute times (pure arithmetic — Mosaic-safe).
+    phase = _phase_mod_2pi(omega_ref[:, :], t)
     c = jnp.cos(phase)
     s = jnp.sin(phase)
 
@@ -193,7 +204,11 @@ def _row_block_kernel(
     touch HBM."""
     dot = _make_dot(precision)
     t = t_ref[0, 0]
-    phase = omega_ref[:, :] * t
+    # Dekker-corrected phase, same as the jnp hot path: a plain f32
+    # product loses ~|omega*t| * 2^-24 rad (~3e-4 at t ~ 1000 s), which
+    # would break the pallas/matmul numerical equivalence at resumed
+    # large absolute times (pure arithmetic — Mosaic-safe).
+    phase = _phase_mod_2pi(omega_ref[:, :], t)
     c = jnp.cos(phase)
     s = jnp.sin(phase)
     h0r = h0_ref[0, :, :]
@@ -249,6 +264,10 @@ def _blocked_fields(h0_pair, omega, t_arr, h0n, awr, awi, config: OceanConfig,
     intermediate HBM traffic — the reference writes its three spectra to
     device memory between every pass (``src/render.rs:1132-1231``)."""
     block, cblock = _pick_blocks(n)
+    if n % block or n % cblock:
+        raise ValueError(
+            f"blocked pallas pipeline needs N divisible by {block}/{cblock} "
+            f"(lane tiling), got {n}; use fft_impl='matmul' below 128")
     vmem_hint = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     row_kernel = functools.partial(
         _row_block_kernel,
@@ -336,7 +355,13 @@ def pallas_fields(
     h0n = h0_pair[:, ::-1, ::-1]
     t_arr = jnp.reshape(t.astype(jnp.float32), (1, 1))
 
-    single_block = n <= 512 and config.matmul_precision != "highest"
+    # Single block whenever it fits: 'highest' VMEM-OOMs at 512 (extra
+    # MXU passes widen live ranges) but fits comfortably at <= 256 — and
+    # the blocked pipeline REQUIRES n >= 128 (its column band is a
+    # multiple of the 128-lane tiling; smaller n would get grid=(0,) and
+    # return uninitialized memory).
+    single_block = n <= (256 if config.matmul_precision == "highest"
+                         else 512)
     if not single_block:
         planes = _blocked_fields(h0_pair, omega, t_arr, h0n, awr, awi,
                                  config, n, interpret)

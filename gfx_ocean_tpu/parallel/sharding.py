@@ -184,6 +184,10 @@ def make_sharded_rollout(config: OceanConfig, mesh: Mesh, batched: bool = True,
 
     def rollout(state: OceanState, ts):
         if time_batch > 1:
+            if ts.shape[0] % time_batch:
+                raise ValueError(  # same contract as models.make_rollout
+                    f"len(ts)={ts.shape[0]} not a multiple of "
+                    f"time_batch={time_batch}")
             ts = ts.reshape(ts.shape[0] // time_batch, time_batch)
         pre = _precompute(state, config)
         _, out = jax.lax.scan(body, (state, pre), ts)

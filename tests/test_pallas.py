@@ -104,3 +104,45 @@ def test_pallas_rejects_batched(state128):
     with pytest.raises(ValueError, match="unbatched"):
         pallas_fields(state128.h0[None], state128.omega[None],
                       jnp.float32(0.0), cfg, interpret=True)
+
+
+def test_pallas_small_n_highest_is_finite_and_correct(state128):
+    """Regression: n < 128 with 'highest' used to route to the blocked
+    pipeline whose grid was (n // 128,) = (0,), silently returning
+    uninitialized (NaN) memory. It now runs single-block."""
+    st = downsample_state(state128, 64)
+    cfg = ot.OceanConfig(resolution=64, fft_impl="pallas",
+                         matmul_precision="highest", compute_normals=False)
+    got = np.asarray(pallas_fields(st.h0, st.omega, jnp.float32(3.25), cfg,
+                                   interpret=True))
+    assert np.isfinite(got).all()
+    want = golden_fields(from_pair_np(np.asarray(st.h0)),
+                         np.asarray(st.omega), 3.25, cfg.domain_size,
+                         cfg.compat)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-5, rel
+
+
+def test_pallas_rejects_unknown_precision(state128):
+    cfg = ot.OceanConfig(resolution=128, fft_impl="pallas",
+                         matmul_precision="hihgest")  # typo must raise
+    with pytest.raises(ValueError, match="unknown matmul precision"):
+        pallas_fields(state128.h0, state128.omega, jnp.float32(0.0), cfg,
+                      interpret=True)
+
+
+def test_pallas_large_t_phase_matches_jnp_path(state128):
+    """Regression: the in-kernel phase is Dekker-reduced like the jnp
+    path; at t ~ 1000 s a plain f32 omega*t product would be ~3e-4 rad
+    off and the two step implementations would diverge past the field
+    budget."""
+    st = downsample_state(state128, 64)
+    t = jnp.float32(1000.25)
+    cfg_p = ot.OceanConfig(resolution=64, fft_impl="pallas",
+                           matmul_precision="highest", compute_normals=False)
+    cfg_m = ot.OceanConfig(resolution=64, fft_impl="matmul",
+                           matmul_precision="highest", compute_normals=False)
+    a = np.asarray(pallas_fields(st.h0, st.omega, t, cfg_p, interpret=True))
+    b = np.asarray(ot.make_step(cfg_m)(st, t).displacement)
+    rel = np.abs(a - b).max() / np.abs(b).max()
+    assert rel < 2e-6, rel

@@ -157,3 +157,26 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base + "/nope")
     assert e.value.code == 404
+
+
+def test_session_concurrent_requests(server):
+    """The viewer keeps two frames in flight; concurrent session frame +
+    input requests must not race (lock covers camera/pose mutation) and
+    every response must be a valid image."""
+    import concurrent.futures as cf
+
+    base, _ = server
+
+    def frame(_):
+        code, body, ctype = _get(base + "/session/frame.jpg?w=48&h=32&dt=0.01")
+        return code == 200 and body[:2] == b"\xff\xd8"
+
+    def poke(i):
+        _get(base + f"/session/input?{'press' if i % 2 else 'release'}=w")
+        return True
+
+    with cf.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(frame, range(8))) + list(ex.map(poke, range(4)))
+    assert all(results)
+    st = json.loads(_get(base + "/session/state")[1])
+    assert np.isfinite(st["position"]).all() and st["sim_time"] > 0

@@ -278,3 +278,42 @@ def test_packed_cascades(reference_state):
     np.testing.assert_allclose(np.asarray(got.displacement[1]),
                                np.asarray(single.displacement) * 0.5,
                                atol=1e-6, rtol=0)
+
+
+def test_uniform_rollout_exact_at_large_t0(reference_state):
+    """Regression: the uniform rollout's exact_cs used a plain f32
+    omega*t product (no Dekker reduction) — ~3e-4 rad off at t ~ 1000 s,
+    diverging from make_rollout past the field budget."""
+    import gfx_ocean_tpu as ot
+    from gfx_ocean_tpu.models.ocean import downsample_state, make_uniform_rollout
+
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    steps, dt, t0 = 2, 1.0 / 60.0, 1000.0
+    a = np.asarray(make_uniform_rollout(cfg, steps, dt,
+                                        keep_fields=True)(state, t0).displacement)
+    ts = jnp.float32(t0) + jnp.arange(steps, dtype=jnp.float32) * jnp.float32(dt)
+    b = np.asarray(ot.make_rollout(cfg, keep_fields=True)(state, ts).displacement)
+    rel = np.abs(a - b).max() / np.abs(b).max()
+    # measured 2.8e-6 with the Dekker phase; the plain f32 product put
+    # this at ~3e-4 (the phase error itself)
+    assert rel < 5e-5, rel
+
+
+def test_sharded_rollout_rejects_bad_time_batch():
+    """Same clear error contract as models.make_rollout."""
+    import jax
+
+    import gfx_ocean_tpu as ot
+    from gfx_ocean_tpu.models.ocean import downsample_state
+    from gfx_ocean_tpu.parallel import make_mesh, make_sharded_rollout, shard_state
+
+    mesh = make_mesh(jax.devices()[:8], batch=2, row=4)
+    base = downsample_state(ot.ocean_state_from_assets(), 64)
+    state = shard_state(
+        ot.OceanState(h0=jnp.stack([base.h0, base.h0]),
+                      omega=jnp.stack([base.omega, base.omega])), mesh)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    ro = make_sharded_rollout(cfg, mesh, batched=True, time_batch=6)
+    with pytest.raises(ValueError, match="not a multiple of"):
+        ro(state, jnp.arange(100, dtype=jnp.float32))

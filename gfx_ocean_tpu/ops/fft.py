@@ -355,6 +355,41 @@ def ifft2_unnorm(x: jnp.ndarray, impl: Impl = "matmul",
     return ifft1d_unnorm(y, axis=-2, impl=impl, direct_max=direct_max, precision=precision)
 
 
+def row_pass_complex(xr, xi, prec, direct_max: int, fold: bool):
+    """Full-complex DFT along the (locally complete) last axis; the
+    x-half of the centering sign optionally folded into the output
+    table. SHARED by the single-chip transform and the distributed
+    shard body (parallel/distributed_fft.py) — the fold convention must
+    never fork between them (CLAUDE.md: the sign is folded into tables,
+    never applied twice)."""
+    n = xr.shape[-1]
+    if n <= direct_max:
+        return _direct_last(xr, xi, prec, real_out=False, out_alt=fold)
+    return _foursteps_last(xr, xi, prec, real_out=False, out_alt=fold)
+
+
+def col_pass_real(ar, ai, prec, direct_max: int, fold: bool, negate: bool):
+    """Real-output DFT along axis -2; folds the y-half of the centering
+    sign (and the reference's global Q2 flip, ``negate``). Shared like
+    ``row_pass_complex``. Direct regime multiplies from the left (no
+    transpose); the four-step regime swaps into the last axis and back —
+    measured on v5e the swap formulation beats both the transpose-free
+    einsum form and XLA's FFT HLO at N = 4096."""
+    m = ar.shape[-2]
+    if m <= direct_max:
+        if fold:
+            wr, wi = (jnp.asarray(a) for a in
+                      _dft_matrix_out_alt_np(m, 1, 0, negate))
+        else:
+            wr, wi = dft_matrices(m, sign=1)
+        return _mm(wr, ar, prec) - _mm(wi, ai, prec)
+    ar = jnp.swapaxes(ar, -1, -2)
+    ai = jnp.swapaxes(ai, -1, -2)
+    y, _ = _foursteps_last(ar, ai, prec, real_out=True, out_alt=fold,
+                           negate=negate)
+    return jnp.swapaxes(y, -1, -2)
+
+
 def ifft2_real_unnorm(
     xr: jnp.ndarray,
     xi: jnp.ndarray,
@@ -391,30 +426,10 @@ def ifft2_real_unnorm(
 
             out = out * correction_sign(n, ref_sign=negate)
         return out
-    # Row pass along the last axis (full complex planes); fold the x-axis
-    # half of the centering sign into its output table.
-    n = xr.shape[-1]
-    if n <= direct_max:
-        ar, ai = _direct_last(xr, xi, prec, real_out=False, out_alt=fold)
-    else:
-        ar, ai = _foursteps_last(xr, xi, prec, real_out=False, out_alt=fold)
-    # Column pass along axis -2, real output only; folds the y-axis half
-    # (and the global Q2 flip). For the direct regime, multiply from the
-    # left (no transpose needed); otherwise transpose into the last axis
-    # for the four-step and transpose back.
-    m = xr.shape[-2]
-    if m <= direct_max:
-        if fold:
-            wr, wi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(m, 1, 0, negate))
-        else:
-            wr, wi = dft_matrices(m, sign=1)
-        return _mm(wr, ar, prec) - _mm(wi, ai, prec)
-    # Measured on v5e the swap formulation beats both the transpose-free
-    # einsum form and XLA's FFT HLO at N = 4096.
-    ar = jnp.swapaxes(ar, -1, -2)
-    ai = jnp.swapaxes(ai, -1, -2)
-    y, _ = _foursteps_last(ar, ai, prec, real_out=True, out_alt=fold, negate=negate)
-    return jnp.swapaxes(y, -1, -2)
+    # Row pass (x-half of the fold) then real-out column pass (y-half +
+    # Q2 flip) — the shared per-axis passes, see their docstrings.
+    ar, ai = row_pass_complex(xr, xi, prec, direct_max, fold)
+    return col_pass_real(ar, ai, prec, direct_max, fold, negate)
 
 
 def ifft2_planes_unnorm(

@@ -43,42 +43,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from gfx_ocean_tpu.ops.fft import (
-    _dft_matrix_out_alt_np,
-    _direct_last,
-    _foursteps_last,
-    _mm,
-    dft_matrices,
+    col_pass_real,
     resolve_precision,
+    row_pass_complex,
 )
-
-
-def _row_pass(xr, xi, prec, direct_max: int, fold: bool):
-    """Full-complex DFT along the (locally complete) last axis.
-
-    Folds the x-half of the centering sign into the output table when
-    ``fold`` (same folding as the single-chip row pass)."""
-    n = xr.shape[-1]
-    if n <= direct_max:
-        return _direct_last(xr, xi, prec, real_out=False, out_alt=fold)
-    return _foursteps_last(xr, xi, prec, real_out=False, out_alt=fold)
-
-
-def _col_pass_real(ar, ai, prec, direct_max: int, fold: bool, negate: bool):
-    """Real-output DFT along axis -2 of a local (..., M, N/P) column band.
-
-    Folds the y-half of the centering sign (and the reference's global Q2
-    flip, ``negate``) into the tables."""
-    m = ar.shape[-2]
-    if m <= direct_max:
-        if fold:
-            wr, wi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(m, 1, 0, negate))
-        else:
-            wr, wi = dft_matrices(m, sign=1)
-        return _mm(wr, ar, prec) - _mm(wi, ai, prec)
-    ar = jnp.swapaxes(ar, -1, -2)
-    ai = jnp.swapaxes(ai, -1, -2)
-    y, _ = _foursteps_last(ar, ai, prec, real_out=True, out_alt=fold, negate=negate)
-    return jnp.swapaxes(y, -1, -2)
 
 
 def _shard_body(xr, xi, *, axis_name: str, prec, direct_max: int,
@@ -87,7 +55,9 @@ def _shard_body(xr, xi, *, axis_name: str, prec, direct_max: int,
 
     Shapes (per shard, P = axis size): xr/xi (..., N/P, N); returns
     (..., N/P, N) — the real field, row-sharded like the input."""
-    ar, ai = _row_pass(xr, xi, prec, direct_max, fold)
+    # The SAME per-axis passes as the single-chip ifft2_real_unnorm
+    # (ops/fft.py) — the shard body only adds the all_to_all transposes.
+    ar, ai = row_pass_complex(xr, xi, prec, direct_max, fold)
 
     # Transpose: row-bands -> column-bands. tiled=True keeps the block
     # layout (split the last axis across chips, concat the row axis).
@@ -96,7 +66,7 @@ def _shard_body(xr, xi, *, axis_name: str, prec, direct_max: int,
     a2i = jax.lax.all_to_all(ai, axis_name, split_axis=ai.ndim - 1,
                              concat_axis=ai.ndim - 2, tiled=True)
 
-    fr = _col_pass_real(a2r, a2i, prec, direct_max, fold, negate)
+    fr = col_pass_real(a2r, a2i, prec, direct_max, fold, negate)
 
     # Back to row-sharded so the caller's layout is unchanged.
     return jax.lax.all_to_all(fr, axis_name, split_axis=fr.ndim - 2,

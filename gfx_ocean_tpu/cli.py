@@ -45,6 +45,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="use the canonical (-1)^(x+y) instead of the reference's flip (Q2)")
     p.add_argument("--conj-neg", action="store_true",
                    help="canonical Tessendorf conjugate pairing instead of the reference's")
+    p.add_argument("--frag-normal-x", action="store_true",
+                   help="replicate the reference frag's .x normal taps — the "
+                        "disp_x channel, a reference bug (Q8); default taps height")
     p.add_argument("--spectrum", type=str, default=None, help="path to spectrum.bin")
     p.add_argument("--omega", type=str, default=None, help="path to omega.bin")
     p.add_argument("--phillips", action="store_true",
@@ -81,6 +84,7 @@ def _build(args):
             wrap_k=args.compat_wrap_k,
             ref_sign=not args.canonical_sign,
             conj_neg=args.conj_neg,
+            frag_normal_x=args.frag_normal_x,
         ),
     )
     phillips = PhillipsConfig(
@@ -171,6 +175,9 @@ def cmd_info(args) -> int:
 
 def cmd_simulate(args) -> int:
     import jax.numpy as jnp
+
+    if args.steps < 1:
+        raise SystemExit("--steps must be >= 1")
 
     from gfx_ocean_tpu import make_rollout, make_step
     from gfx_ocean_tpu.checkpoint import load_checkpoint, save_checkpoint, save_fields
@@ -309,7 +316,8 @@ def cmd_render(args) -> int:
             fields.displacement, cam, width=args.width, height=args.height,
             mesh_resolution=config.mesh_resolution,
             num_patches=config.num_patches, samples=args.samples,
-            foam=fields.foam))  # --foam mixes whitecaps into the albedo
+            foam=fields.foam,   # --foam mixes whitecaps into the albedo
+            frag_normal_x=config.compat.frag_normal_x))
         path = os.path.join(args.out, f"frame_{i:05d}")
         np.save(path + ".npy", img)
         try:

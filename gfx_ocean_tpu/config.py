@@ -43,11 +43,21 @@ class CompatFlags:
         ``h0[-k]`` (canonical Tessendorf uses ``conj(h0(-k))``, which makes
         the spectrum Hermitian and the field exactly real). ``False``
         (default) matches the reference; ``True`` uses the canonical form.
+    frag_normal_x:
+        Q8 — the reference's fragment shader builds its normal map from
+        finite differences of texel channel ``.x``
+        (``shader/ocean.frag:55-58``), but ``correction.comp:31`` packs
+        ``vec3(disp_x, height, disp_z)`` — channel 0 is the CHOPPY X
+        DISPLACEMENT, not the height the variable names (and
+        ``height_scale``) clearly intend. ``False`` (default) differences
+        the height channel (intended math, same stance as Q1);
+        ``True`` replicates the reference's disp_x taps bit-for-bit.
     """
 
     wrap_k: bool = False
     ref_sign: bool = True
     conj_neg: bool = False
+    frag_normal_x: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -165,7 +165,12 @@ def scripted_camera(script, dt: float = 1.0 / 60.0,
     ``script`` is a sequence of (num_frames, held_keys) segments — the
     headless stand-in for the winit event loop (``src/lib.rs:123-157``).
     Yields (frame_index, Camera) with ``update(dt)`` applied per frame.
+    Each yielded camera is an independent SNAPSHOT, so collecting them
+    (e.g. for ``render_frames``) keeps per-frame poses rather than F
+    references to the final one.
     """
+    import copy
+
     cam = camera if camera is not None else Camera()
     frame = 0
     for num_frames, keys in script:
@@ -175,5 +180,5 @@ def scripted_camera(script, dt: float = 1.0 / 60.0,
         cam.input = st
         for _ in range(num_frames):
             cam.update(dt)
-            yield frame, cam
+            yield frame, copy.deepcopy(cam)
             frame += 1

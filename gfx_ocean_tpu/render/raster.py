@@ -185,7 +185,12 @@ def _prefix_sum_mxu(x: jnp.ndarray) -> jnp.ndarray:
     t2 = jnp.dot(t_tot[None, :], upper2, precision="highest")[0]
     t_incl = (t_within + (t2 - t_tot)[:, None]).reshape(-1)[:rows]
     offsets = t_incl - totals                            # exclusive
-    return (within + offsets[:, None]).reshape(-1)[:n].astype(jnp.int32)
+    out = (within + offsets[:, None]).reshape(-1)[:n]
+    # Clamp before the int cast: totals beyond int32 (pathological giant
+    # scenes) would hit implementation-defined f32->i32 conversion; every
+    # consumer only compares against pool-magnitude values, so the clamp
+    # is semantics-preserving.
+    return jnp.minimum(out, jnp.float32(2 ** 31 - 65536)).astype(jnp.int32)
 
 
 def _tri_corners(clip, tris, grid_shape=None):
@@ -372,7 +377,7 @@ def _decode_tri(id_img, grid_shape):
 
 def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
                     camera_pos, width: int, height: int, id_bits: int,
-                    grid_shape=None, foam=None):
+                    grid_shape=None, foam=None, frag_channel: int = 1):
     """Per-pixel varying reconstruction + fragment shading from the
     winning visibility-key image. Perspective-correct uv/world via the
     same lambda weights; the EXACT f32 depth is recomputed here from the
@@ -409,7 +414,8 @@ def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
     world_img = interp(world[vt])
 
     color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
-                               world_img, camera_pos, foam=foam)
+                               world_img, camera_pos, foam=foam,
+                               frag_channel=frag_channel)
     clear = jnp.asarray(sh.CLEAR_COLOR)
     return jnp.where(covered[..., None], color, clear[None, None]), z_img
 
@@ -430,11 +436,11 @@ def _auto_pool(width: int, height: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "pool", "giants",
-                                    "grid_shape"))
+                                    "grid_shape", "frag_channel"))
 def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
                     width: int, height: int, pool: int = 1 << 20,
                     giants: int = 512, interp=None, grid_shape=None,
-                    foam=None):
+                    foam=None, frag_channel: int = 1):
     """Exact-area pool rasterizer (see module docstring). Coverage and
     depth are identical to ``_rasterize`` (the window impl) by
     construction: both evaluate the same edge/denominator tests at the
@@ -599,7 +605,7 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
 
     img, z_img = _deferred_shade(displacement, world, clip, tris, uvs,
                                  key_img, camera_pos, width, height, id_bits,
-                                 grid_shape, foam)
+                                 grid_shape, foam, frag_channel)
     return img, z_img
 
 
@@ -638,10 +644,11 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "samples", "giants",
-                                    "grid_shape"))
+                                    "grid_shape", "frag_channel"))
 def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                width: int, height: int, samples: int, giants: int = 512,
-               interp=None, grid_shape=None, foam=None):
+               interp=None, grid_shape=None, foam=None,
+               frag_channel: int = 1):
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
                                 interp)
 
@@ -756,7 +763,7 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                           giants, id_bits)
     img, z_img = _deferred_shade(displacement, world, clip, tris_all, uvs,
                                  key_img, camera_pos, width, height, id_bits,
-                                 grid_shape, foam)
+                                 grid_shape, foam, frag_channel)
     return img, z_img
 
 
@@ -773,6 +780,7 @@ def render_frame(
     impl: str = "pool",
     pool: int | None = None,
     foam: jnp.ndarray | None = None,
+    frag_normal_x: bool = False,
 ):
     """Render one frame from a displacement map along a camera.
 
@@ -784,6 +792,9 @@ def render_frame(
         foam: optional (N, N) whitecap coverage mask mixed into the albedo
             (``shade.shade_fragments``) — an extension beyond the
             reference's fragment shader; None renders reference-faithful.
+        frag_normal_x: Q8 compat — tap the disp_x channel for the normal
+            map, bit-matching the reference's ``.x`` taps
+            (``config.CompatFlags.frag_normal_x``); default taps height.
         impl: "pool" (fast exact-area path, default) or "window" (the
             fixed-budget golden path; honors ``samples``).
         pool: sample-slot pool size for impl="pool" (default: sized from
@@ -800,15 +811,17 @@ def render_frame(
     args = (jnp.asarray(displacement), positions, uvs, tris, view_proj,
             jnp.asarray(camera.position.astype(np.float32)))
     foam_dev = None if foam is None else jnp.asarray(foam)
+    chan = 0 if frag_normal_x else 1
     if impl == "pool":
         img, depth = _rasterize_pool(*args, width, height,
                                      pool or _auto_pool(width, height),
                                      giants, interp,
-                                     (num_patches, mesh_resolution), foam_dev)
+                                     (num_patches, mesh_resolution), foam_dev,
+                                     chan)
     elif impl == "window":
         img, depth = _rasterize(*args, width, height, samples, giants,
                                 interp, (num_patches, mesh_resolution),
-                                foam_dev)
+                                foam_dev, chan)
     else:
         raise ValueError(f"impl must be 'pool' or 'window', got {impl!r}")
     if return_depth:
@@ -855,7 +868,8 @@ def make_frame_renderer(
                                  pool or _auto_pool(width, height), giants,
                                  interp,
                                  (config.num_patches, config.mesh_resolution),
-                                 foam)
+                                 foam,
+                                 0 if config.compat.frag_normal_x else 1)
         # sRGB encode on device (matches the host-side conversion in
         # serve.py / cli.py render: gamma 1/2.2, truncating cast).
         return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(jnp.uint8)

@@ -121,8 +121,17 @@ def _packed_table_bilerp(planes, u, v):
     return out
 
 
-def fragment_normals(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
-    """textureOffset +-1 taps on the raw height channel (``ocean.frag:54-67``).
+def fragment_normals(displacement: jnp.ndarray, u, v,
+                     channel: int = 1) -> jnp.ndarray:
+    """textureOffset +-1 taps on one displacement channel (``ocean.frag:54-67``).
+
+    ``channel``: which packed texel channel the taps difference. The
+    reference frag taps ``.x`` — which is the CHOPPY X DISPLACEMENT, not
+    height, because ``correction.comp:31`` packs (disp_x, height,
+    disp_z); the variable names and ``height_scale`` clearly intend the
+    height channel. Default 1 (height — the intended math); pass 0 for
+    bit-parity with the reference's actual taps (CompatFlags Q8,
+    ``frag_normal_x``).
 
     GLSL ``textureOffset`` shifts the sampled TEXEL by exactly one, keeping
     the bilinear fraction — so ``tap(u+du) - tap(u-du)`` equals the
@@ -138,7 +147,7 @@ def fragment_normals(displacement: jnp.ndarray, u, v) -> jnp.ndarray:
     visibility, and shading is clamped (``max(0.7, NdotL)``) over most
     of the field anyway.
     """
-    h = displacement[..., 1]
+    h = displacement[..., channel]
     inv_scale = 1.0 / HEIGHT_SCALE
     dxh = (jnp.roll(h, -1, axis=1) - jnp.roll(h, 1, axis=1)) * inv_scale
     dzh = (jnp.roll(h, -1, axis=0) - jnp.roll(h, 1, axis=0)) * inv_scale
@@ -163,7 +172,8 @@ def sample_mask_bilinear(mask: jnp.ndarray, u, v) -> jnp.ndarray:
 
 
 def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,
-                    foam: jnp.ndarray | None = None) -> jnp.ndarray:
+                    foam: jnp.ndarray | None = None,
+                    frag_channel: int = 1) -> jnp.ndarray:
     """Full ``ocean.frag`` color for pixel arrays. Returns (..., 3).
 
     ``foam`` (optional, BEYOND the reference — its fragment shader has no
@@ -172,7 +182,7 @@ def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,
     Fresnel/NdotL terms still apply; ``foam=None`` (the default) is
     bit-identical to the reference-faithful path.
     """
-    n = fragment_normals(displacement, u, v)
+    n = fragment_normals(displacement, u, v, channel=frag_channel)
 
     depth = 1.0 - jnp.clip((world_pos[..., 1] + 10.0) / 50.0, 0.0, 1.5) ** 1.2
     albedo = SHALLOW[None] * (1.0 - depth[..., None]) + DEEP[None] * depth[..., None]

@@ -70,7 +70,13 @@ class FrameService:
         else:
             self._step = make_step(config)
         self._lock = threading.Lock()
-        self._renderers = {}  # (w, h, giants) -> fused step+render+sRGB jit
+        self._meter_lock = threading.Lock()   # counters/EMA: cheap, atomic
+        # (w, h, giants) -> fused step+render+sRGB jit. Bounded: the key
+        # is client-controlled, and each miss compiles a TPU executable
+        # (seconds through a tunnel) and pins device buffers — evict the
+        # oldest beyond a handful of live viewports.
+        self._renderers = {}
+        self._renderers_max = 6
         self.session = CameraSession()  # defined below; resolved at call time
         self.frames_served = 0
         self.errors = 0
@@ -87,8 +93,9 @@ class FrameService:
                 arrays["normals"] = np.asarray(out.normals)
             if out.foam is not None:
                 arrays["foam"] = np.asarray(out.foam)
-        self.latency_ema.update(time.perf_counter() - t0)
-        self.frames_served += 1
+        with self._meter_lock:
+            self.latency_ema.update(time.perf_counter() - t0)
+            self.frames_served += 1
         return arrays
 
     def frame_npz(self, t: float) -> bytes:
@@ -123,6 +130,8 @@ class FrameService:
             t0 = time.perf_counter()
             with self._lock:
                 if key not in self._renderers:
+                    if len(self._renderers) >= self._renderers_max:
+                        self._renderers.pop(next(iter(self._renderers)))
                     self._renderers[key] = make_frame_renderer(
                         self.config, width=width, height=height,
                         giants=giants)
@@ -136,8 +145,9 @@ class FrameService:
             # overlaps this frame's download (the viewer keeps two frames
             # in flight to exploit this).
             srgb = np.asarray(srgb_dev)
-            self.latency_ema.update(time.perf_counter() - t0)
-            self.frames_served += 1
+            with self._meter_lock:
+                self.latency_ema.update(time.perf_counter() - t0)
+                self.frames_served += 1
         else:
             from gfx_ocean_tpu.render import render_frame  # noqa: PLC0415
 
@@ -146,7 +156,8 @@ class FrameService:
                 arrays["displacement"], camera, width=width, height=height,
                 mesh_resolution=self.config.mesh_resolution,
                 num_patches=self.config.num_patches, samples=samples,
-                giants=giants, foam=arrays.get("foam")))
+                giants=giants, foam=arrays.get("foam"),
+                frag_normal_x=self.config.compat.frag_normal_x))
             srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
         buf = io.BytesIO()
         if fmt.upper() in ("JPEG", "JPG"):
@@ -281,7 +292,9 @@ async function loop() {
     next = grab();
     try {
       const blob = await cur;
+      const old = v.src;
       v.src = URL.createObjectURL(blob);
+      if (old.startsWith('blob:')) URL.revokeObjectURL(old);
       const ms = performance.now() - t0;
       ema = ema === null ? ms : ema * 0.9 + ms * 0.1;   // src/lib.rs:146-148
       hud.textContent = 'Ocean: ' + ema.toFixed(2) + 'ms (' +
@@ -401,6 +414,10 @@ def serve(state: OceanState, config: OceanConfig, host: str = "127.0.0.1",
     row-sharded across the mesh (fields gather to host for serialization)."""
     service = FrameService(state, config, mesh=mesh, sharded_fft=sharded_fft)
     service.fields(0.0)  # warmup: compile + first transfer
+    try:  # and the default-viewport fused viewer pipeline (best effort)
+        service.frame_png(0.0, 480, 280, 16, fmt="JPEG")
+    except Exception:  # pragma: no cover - PIL absent etc.
+        pass
     server = ThreadingHTTPServer((host, port), _make_handler(service))
     server.service = service  # for tests/metrics access
     return server

@@ -208,7 +208,8 @@ def test_render_frames_batched():
     cfg = ot.OceanConfig(resolution=64, compute_normals=False)
     traj = ot.make_rollout(cfg, keep_fields=True)(
         state, jnp.arange(2, dtype=jnp.float32))
-    cams = [copy.deepcopy(c) for _, c in scripted_camera([(2, ["w"])], dt=0.1)]
+    # scripted_camera yields independent snapshots (no deepcopy needed)
+    cams = [c for _, c in scripted_camera([(2, ["w"])], dt=0.1)]
     batch = np.asarray(render_frames(traj.displacement, cams, width=64,
                                      height=48, mesh_resolution=64, samples=12))
     assert batch.shape == (2, 48, 64, 3)
@@ -571,3 +572,38 @@ def test_prefix_sum_mxu_matches_cumsum():
         assert int(np.asarray(x).sum()) < 2 ** 24
         np.testing.assert_array_equal(np.asarray(_prefix_sum_mxu(x)),
                                       np.cumsum(np.asarray(x)))
+
+
+def test_frag_normal_channel_q8():
+    """Q8: the reference's frag taps channel .x (disp_x, a reference bug
+    — correction.comp packs (disp_x, height, disp_z)); default taps
+    height. Both channels must produce the documented taps."""
+    rng = np.random.default_rng(21)
+    disp = jnp.asarray(rng.standard_normal((16, 16, 3)).astype(np.float32))
+    u = jnp.asarray([0.40625]); v = jnp.asarray([0.59375])  # texel centers
+    n_h = np.asarray(sh.fragment_normals(disp, u, v, channel=1))
+    n_x = np.asarray(sh.fragment_normals(disp, u, v, channel=0))
+    assert not np.allclose(n_h, n_x)
+    # at a texel center the taps are exact +-1 texel differences
+    d = np.asarray(disp)
+    iy, ix = 9, 6   # v*16-0.5 = 9.0, u*16-0.5 = 6.0
+    gx = (d[iy, ix + 1, 0] - d[iy, ix - 1, 0]) / sh.HEIGHT_SCALE
+    na = np.array([-2 / 16, gx, 0.0]); na /= np.linalg.norm(na)
+    gz = (d[iy + 1, ix, 0] - d[iy - 1, ix, 0]) / sh.HEIGHT_SCALE
+    nb = np.array([0.0, gz, 2 / 16]); nb /= np.linalg.norm(nb)
+    want = np.cross(na, nb); want /= np.linalg.norm(want)
+    np.testing.assert_allclose(n_x[0], want, atol=2e-3)  # f16 lane taps
+
+
+def test_render_frame_q8_flag_changes_shading_not_coverage():
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    a, za = render_frame(disp, Camera(), width=96, height=64,
+                         mesh_resolution=32, return_depth=True)
+    b, zb = render_frame(disp, Camera(), width=96, height=64,
+                         mesh_resolution=32, return_depth=True,
+                         frag_normal_x=True)
+    np.testing.assert_array_equal(np.isfinite(np.asarray(za)),
+                                  np.isfinite(np.asarray(zb)))
+    assert not np.allclose(np.asarray(a), np.asarray(b))

@@ -317,7 +317,9 @@ def cmd_render(args) -> int:
             mesh_resolution=config.mesh_resolution,
             num_patches=config.num_patches, samples=args.samples,
             foam=fields.foam,   # --foam mixes whitecaps into the albedo
-            frag_normal_x=config.compat.frag_normal_x))
+            frag_normal_x=config.compat.frag_normal_x,
+            height_div=config.height_div, horiz_div=config.horiz_div,
+            normal_height_scale=config.normal_height_scale))
         path = os.path.join(args.out, f"frame_{i:05d}")
         np.save(path + ".npy", img)
         try:

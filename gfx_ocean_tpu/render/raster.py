@@ -65,7 +65,8 @@ from gfx_ocean_tpu.render.camera import Camera, perspective
 from gfx_ocean_tpu.render.mesh import build_grid, instantiate
 
 
-def _vertex_stage(displacement, positions, uvs, view_proj, interp=None):
+def _vertex_stage(displacement, positions, uvs, view_proj, interp=None,
+                  height_div: float = 3.0, horiz_div: float = 3.5):
     """``shader/ocean.vert``: displace, offset, project, negate clip y.
 
     ``interp``: optional ``(Wy, Wx)`` bilinear-interpolation matrices from
@@ -88,9 +89,10 @@ def _vertex_stage(displacement, positions, uvs, view_proj, interp=None):
                         (positions.shape[0] // (h * h), 1))
     else:
         disp = sh.sample_displacement(displacement, uvs[:, 0], uvs[:, 1])
-    disp = disp.at[:, 1].multiply(1.0 / 3.0)
-    disp = disp.at[:, 0].multiply(1.0 / 3.5)
-    disp = disp.at[:, 2].multiply(1.0 / 3.5)
+    # the ocean.vert:22-23 visual scales, as OceanConfig fields
+    disp = disp.at[:, 1].multiply(1.0 / height_div)
+    disp = disp.at[:, 0].multiply(1.0 / horiz_div)
+    disp = disp.at[:, 2].multiply(1.0 / horiz_div)
     world = positions + disp
     ones = jnp.ones((world.shape[0], 1), world.dtype)
     # precision='highest': on TPU this 4x4 transform would otherwise run
@@ -377,7 +379,8 @@ def _decode_tri(id_img, grid_shape):
 
 def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
                     camera_pos, width: int, height: int, id_bits: int,
-                    grid_shape=None, foam=None, frag_channel: int = 1):
+                    grid_shape=None, foam=None, frag_channel: int = 1,
+                    height_scale: float = 180.0):
     """Per-pixel varying reconstruction + fragment shading from the
     winning visibility-key image. Perspective-correct uv/world via the
     same lambda weights; the EXACT f32 depth is recomputed here from the
@@ -415,7 +418,8 @@ def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
 
     color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
                                world_img, camera_pos, foam=foam,
-                               frag_channel=frag_channel)
+                               frag_channel=frag_channel,
+                               height_scale=height_scale)
     clear = jnp.asarray(sh.CLEAR_COLOR)
     return jnp.where(covered[..., None], color, clear[None, None]), z_img
 
@@ -440,13 +444,14 @@ def _auto_pool(width: int, height: int) -> int:
 def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
                     width: int, height: int, pool: int = 1 << 20,
                     giants: int = 512, interp=None, grid_shape=None,
-                    foam=None, frag_channel: int = 1):
+                    foam=None, frag_channel: int = 1,
+                    scales=(3.0, 3.5, 180.0)):
     """Exact-area pool rasterizer (see module docstring). Coverage and
     depth are identical to ``_rasterize`` (the window impl) by
     construction: both evaluate the same edge/denominator tests at the
     same pixel centers; only the slot->pixel assignment differs."""
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
-                                interp)
+                                interp, scales[0], scales[1])
     t_count = tris.shape[0]
     spill = width * height
 
@@ -605,7 +610,8 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
 
     img, z_img = _deferred_shade(displacement, world, clip, tris, uvs,
                                  key_img, camera_pos, width, height, id_bits,
-                                 grid_shape, foam, frag_channel)
+                                 grid_shape, foam, frag_channel,
+                                 scales[2])
     return img, z_img
 
 
@@ -648,9 +654,9 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
 def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                width: int, height: int, samples: int, giants: int = 512,
                interp=None, grid_shape=None, foam=None,
-               frag_channel: int = 1):
+               frag_channel: int = 1, scales=(3.0, 3.5, 180.0)):
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
-                                interp)
+                                interp, scales[0], scales[1])
 
     # Pad triangles to a chunk multiple; padding points at vertex 0 thrice
     # (degenerate -> rejected by the det/denom sign tests).
@@ -763,7 +769,8 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                           giants, id_bits)
     img, z_img = _deferred_shade(displacement, world, clip, tris_all, uvs,
                                  key_img, camera_pos, width, height, id_bits,
-                                 grid_shape, foam, frag_channel)
+                                 grid_shape, foam, frag_channel,
+                                 scales[2])
     return img, z_img
 
 
@@ -781,6 +788,9 @@ def render_frame(
     pool: int | None = None,
     foam: jnp.ndarray | None = None,
     frag_normal_x: bool = False,
+    height_div: float = 3.0,
+    horiz_div: float = 3.5,
+    normal_height_scale: float = 180.0,
 ):
     """Render one frame from a displacement map along a camera.
 
@@ -795,6 +805,10 @@ def render_frame(
         frag_normal_x: Q8 compat — tap the disp_x channel for the normal
             map, bit-matching the reference's ``.x`` taps
             (``config.CompatFlags.frag_normal_x``); default taps height.
+        height_div / horiz_div / normal_height_scale: the GLSL visual
+            scales (``ocean.vert:22-23`` /3.0 and /3.5,
+            ``ocean.frag:19`` height_scale=180) — the same-named
+            ``OceanConfig`` fields; defaults are the reference literals.
         impl: "pool" (fast exact-area path, default) or "window" (the
             fixed-budget golden path; honors ``samples``).
         pool: sample-slot pool size for impl="pool" (default: sized from
@@ -812,16 +826,17 @@ def render_frame(
             jnp.asarray(camera.position.astype(np.float32)))
     foam_dev = None if foam is None else jnp.asarray(foam)
     chan = 0 if frag_normal_x else 1
+    scales = (float(height_div), float(horiz_div), float(normal_height_scale))
     if impl == "pool":
         img, depth = _rasterize_pool(*args, width, height,
                                      pool or _auto_pool(width, height),
                                      giants, interp,
                                      (num_patches, mesh_resolution), foam_dev,
-                                     chan)
+                                     chan, scales)
     elif impl == "window":
         img, depth = _rasterize(*args, width, height, samples, giants,
                                 interp, (num_patches, mesh_resolution),
-                                foam_dev, chan)
+                                foam_dev, chan, scales)
     else:
         raise ValueError(f"impl must be 'pool' or 'window', got {impl!r}")
     if return_depth:
@@ -869,7 +884,10 @@ def make_frame_renderer(
                                  interp,
                                  (config.num_patches, config.mesh_resolution),
                                  foam,
-                                 0 if config.compat.frag_normal_x else 1)
+                                 0 if config.compat.frag_normal_x else 1,
+                                 (float(config.height_div),
+                                  float(config.horiz_div),
+                                  float(config.normal_height_scale)))
         # sRGB encode on device (matches the host-side conversion in
         # serve.py / cli.py render: gamma 1/2.2, truncating cast).
         return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(jnp.uint8)

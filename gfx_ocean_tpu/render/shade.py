@@ -122,7 +122,8 @@ def _packed_table_bilerp(planes, u, v):
 
 
 def fragment_normals(displacement: jnp.ndarray, u, v,
-                     channel: int = 1) -> jnp.ndarray:
+                     channel: int = 1,
+                     height_scale: float = HEIGHT_SCALE) -> jnp.ndarray:
     """textureOffset +-1 taps on one displacement channel (``ocean.frag:54-67``).
 
     ``channel``: which packed texel channel the taps difference. The
@@ -148,7 +149,7 @@ def fragment_normals(displacement: jnp.ndarray, u, v,
     of the field anyway.
     """
     h = displacement[..., channel]
-    inv_scale = 1.0 / HEIGHT_SCALE
+    inv_scale = 1.0 / height_scale
     dxh = (jnp.roll(h, -1, axis=1) - jnp.roll(h, 1, axis=1)) * inv_scale
     dzh = (jnp.roll(h, -1, axis=0) - jnp.roll(h, 1, axis=0)) * inv_scale
     n_y, n_x = h.shape
@@ -173,7 +174,8 @@ def sample_mask_bilinear(mask: jnp.ndarray, u, v) -> jnp.ndarray:
 
 def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,
                     foam: jnp.ndarray | None = None,
-                    frag_channel: int = 1) -> jnp.ndarray:
+                    frag_channel: int = 1,
+                    height_scale: float = HEIGHT_SCALE) -> jnp.ndarray:
     """Full ``ocean.frag`` color for pixel arrays. Returns (..., 3).
 
     ``foam`` (optional, BEYOND the reference — its fragment shader has no
@@ -182,7 +184,8 @@ def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,
     Fresnel/NdotL terms still apply; ``foam=None`` (the default) is
     bit-identical to the reference-faithful path.
     """
-    n = fragment_normals(displacement, u, v, channel=frag_channel)
+    n = fragment_normals(displacement, u, v, channel=frag_channel,
+                         height_scale=height_scale)
 
     depth = 1.0 - jnp.clip((world_pos[..., 1] + 10.0) / 50.0, 0.0, 1.5) ** 1.2
     albedo = SHALLOW[None] * (1.0 - depth[..., None]) + DEEP[None] * depth[..., None]

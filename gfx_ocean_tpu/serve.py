@@ -157,7 +157,10 @@ class FrameService:
                 mesh_resolution=self.config.mesh_resolution,
                 num_patches=self.config.num_patches, samples=samples,
                 giants=giants, foam=arrays.get("foam"),
-                frag_normal_x=self.config.compat.frag_normal_x))
+                frag_normal_x=self.config.compat.frag_normal_x,
+                height_div=self.config.height_div,
+                horiz_div=self.config.horiz_div,
+                normal_height_scale=self.config.normal_height_scale))
             srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
         buf = io.BytesIO()
         if fmt.upper() in ("JPEG", "JPG"):

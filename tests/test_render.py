@@ -607,3 +607,24 @@ def test_render_frame_q8_flag_changes_shading_not_coverage():
     np.testing.assert_array_equal(np.isfinite(np.asarray(za)),
                                   np.isfinite(np.asarray(zb)))
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_render_frame_honors_config_visual_scales():
+    """height_div/horiz_div/normal_height_scale (the OceanConfig fields
+    for the GLSL literals) must reach the render layer: doubling
+    height_div halves the rendered wave height (coverage shrinks toward
+    the horizon); changing normal_height_scale changes shading only."""
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    base, zb = render_frame(disp, Camera(), width=96, height=64,
+                            mesh_resolution=32, return_depth=True)
+    flat, zf = render_frame(disp, Camera(), width=96, height=64,
+                            mesh_resolution=32, return_depth=True,
+                            height_div=300.0)
+    assert not np.array_equal(np.asarray(zb), np.asarray(zf))
+    shaded, zs = render_frame(disp, Camera(), width=96, height=64,
+                              mesh_resolution=32, return_depth=True,
+                              normal_height_scale=30.0)
+    np.testing.assert_array_equal(np.asarray(zb), np.asarray(zs))  # geometry same
+    assert not np.allclose(np.asarray(base), np.asarray(shaded))   # shading differs

@@ -8,7 +8,8 @@ initial conditions.
 
 Measurement rules (BASELINE.md): device-resident scan with per-frame
 full-field reductions (every output is computed and consumed on device),
-jit warmup excluded, ``block_until_ready`` timing, median of repeats.
+jit warmup excluded, completion forced by a host transfer each repeat
+(only transfers are trustworthy on the axon backend), median of repeats.
 An accuracy gate (relative L-inf vs the float64 CPU golden) runs first; a
 throughput number with broken numerics is meaningless.
 
@@ -21,7 +22,6 @@ reference publishes no numbers of its own — SURVEY.md §6).
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
@@ -61,11 +61,17 @@ def main() -> None:
         cfg = ot.OceanConfig(fft_impl="pallas", matmul_precision="bf16x3")
     state = ot.ocean_state_from_assets(resolution=cfg.resolution)
 
-    # --- accuracy gate ---------------------------------------------------
+    # --- accuracy gate + pallas compile probe ----------------------------
+    # BOTH pallas programs (single step for the gate, and the scan rollout
+    # — a different compile that can fail independently, e.g. VMEM OOM at
+    # the time-batched shape) run inside the fallback guard.
     t_check = 11.25
+    rollout = ot.make_rollout(cfg, keep_fields=False, time_batch=TIME_BATCH)
+    ts = jnp.arange(STEPS, dtype=jnp.float32) * jnp.float32(1.0 / 60.0)
     try:
         disp = np.asarray(
             ot.make_step(cfg)(state, jnp.float32(t_check)).displacement)
+        np.asarray(rollout(state, ts))  # warmup: compile + force completion
     except Exception as e:  # noqa: BLE001 - pallas fallback, see above
         if cfg.fft_impl != "pallas":
             raise
@@ -81,19 +87,16 @@ def main() -> None:
                          f"> {ACCURACY_GATE}")
 
     # --- throughput -------------------------------------------------------
-    rollout = ot.make_rollout(cfg, keep_fields=False, time_batch=TIME_BATCH)
-    ts = jnp.arange(STEPS, dtype=jnp.float32) * jnp.float32(1.0 / 60.0)
+    # time_rollout forces completion with a host transfer of the per-step
+    # checksums each repeat: on the axon backend block_until_ready can
+    # both under-report and swallow async errors (utils/profiling.py) —
+    # only a transfer is trustworthy. The 600-float download costs one
+    # RPC (~2-5% here, ~0 on an untunneled host), the honest price.
+    from gfx_ocean_tpu.utils.profiling import time_rollout
 
-    out = rollout(state, ts)
-    np.asarray(out)  # warmup: compile + surface any async error
-
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out = rollout(state, ts)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    steps_per_sec = STEPS / float(np.median(times))
+    record = time_rollout(rollout, state, ts, repeats=REPEATS)
+    steps_per_sec = record["steps_per_sec"]
+    times = record["repeats_sec"]
 
     print(json.dumps({
         "metric": "ocean_full_step_512_steps_per_sec",

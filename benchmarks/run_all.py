@@ -35,13 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _throughput(rollout, state, ts, repeats=3):
-    np.asarray(rollout(state, ts))
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        np.asarray(rollout(state, ts))
-        times.append(time.perf_counter() - t0)
-    return len(ts) / float(np.median(times))
+    from gfx_ocean_tpu.utils.profiling import time_rollout
+
+    return time_rollout(rollout, state, ts, repeats)["steps_per_sec"]
 
 
 def main() -> None:

@@ -73,8 +73,15 @@ def load_checkpoint(path: str) -> Tuple[OceanState, float, OceanConfig]:
 
 
 def save_fields(path: str, displacement, normals=None, foam=None,
-                t: Optional[float] = None) -> None:
-    """Dump per-frame fields as .npz for golden comparisons / offline viz."""
+                t: Optional[float] = None) -> str:
+    """Dump per-frame fields as .npz for golden comparisons / offline viz.
+
+    Returns the actual path written: np.savez silently appends ``.npz``
+    when the suffix is missing (the same hazard ``save_checkpoint``
+    normalizes), so callers must use the return value, not their input.
+    """
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     arrays = {"displacement": np.asarray(displacement)}
     if normals is not None:
         arrays["normals"] = np.asarray(normals)
@@ -83,3 +90,4 @@ def save_fields(path: str, displacement, normals=None, foam=None,
     if t is not None:
         arrays["t"] = np.float64(t)
     np.savez(path, **arrays)
+    return path

@@ -67,6 +67,12 @@ int64_t load_bincode(const char* path, float* dst, int64_t expected_elems,
   if (f.size < 8) return kErrTooSmall;
   uint64_t count;
   std::memcpy(&count, f.data, 8);  // u64 little-endian length prefix
+  // Reject counts whose payload size would overflow u64 (a corrupt
+  // header like 2^61 would wrap count*4*components to a small value and
+  // pass the size check) — mirrors the Python parser's exact bigint
+  // arithmetic (assets/bincode.py).
+  if (count > (UINT64_MAX - 8) / (4ull * static_cast<uint64_t>(components)))
+    return kErrSizeMismatch;
   const uint64_t payload = count * 4ull * static_cast<uint64_t>(components);
   if (f.size != 8 + payload) return kErrSizeMismatch;
   if (expected_elems >= 0 && static_cast<uint64_t>(expected_elems) != count)
@@ -88,6 +94,8 @@ int64_t on_bincode_count(const char* path, int64_t components) {
   if (f.size < 8) return kErrTooSmall;
   uint64_t count;
   std::memcpy(&count, f.data, 8);
+  if (count > (UINT64_MAX - 8) / (4ull * static_cast<uint64_t>(components)))
+    return kErrSizeMismatch;  // overflow-safe: see load_bincode
   if (f.size != 8 + count * 4ull * static_cast<uint64_t>(components))
     return kErrSizeMismatch;
   return static_cast<int64_t>(count);

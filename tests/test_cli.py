@@ -123,7 +123,8 @@ def test_cli_simulate_mesh_matches_single_device(capsys):
     # f32 checksum of a near-cancelling field sum; sharding reassociates
     # the reduction, so agreement is order-of-reduction limited.
     np.testing.assert_allclose(single["checksums_head"],
-                               sharded["checksums_head"], rtol=1e-3)
+                               sharded["checksums_head"], rtol=1e-3,
+                               atol=5e-3)  # near-zero sums need an atol
 
 
 def test_cli_simulate_mesh_save_fields(tmp_path, capsys):

@@ -68,7 +68,7 @@ def test_pallas_rejects_large_grid(state128):
         pallas_fields(h0, om, jnp.float32(0.0), cfg, interpret=True)
 
 
-def test_pallas_blocked_multiband_matches_golden(reference_state):
+def test_pallas_blocked_multiband_matches_golden():
     """256^2 at 'highest' routes through the row/col-blocked two-kernel
     pipeline with a 2-band grid; must match the golden like the single
     kernel does."""
@@ -83,7 +83,7 @@ def test_pallas_blocked_multiband_matches_golden(reference_state):
     assert err < 1e-5, f"blocked: {err:.2e}"
 
 
-def test_pallas_blocked_1024(reference_state):
+def test_pallas_blocked_1024():
     """N=1024 (always blocked) against the jnp matmul path."""
     rng = np.random.default_rng(7)
     n = 1024

@@ -21,8 +21,6 @@ def test_default_view_dir():
     d = cam.view_dir()
     # hand-computed: v=(0,0,-1); rot_x(-0.6): (0, -sin(.6)... )
     rx, ry = -0.6, -1.5
-    v = np.array([0.0, 0.0, -1.0])
-    v1 = np.array([0.0, np.sin(rx) * -(-1) * -1, 0.0])  # placeholder, compute directly below
     cx, sx_ = np.cos(rx), np.sin(rx)
     v1 = np.array([0.0, cx * 0 - sx_ * (-1), sx_ * 0 + cx * (-1)])
     cy, sy_ = np.cos(ry), np.sin(ry)
@@ -146,10 +144,8 @@ def test_fragment_normals_flat_sea_points_up():
 # --- rasterizer ---------------------------------------------------------------
 
 @pytest.fixture(scope="module")
-def small_frame():
-    state = downsample_state(ot.ocean_state_from_assets(), 64)
-    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
-    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+def small_frame(disp64):
+    disp = disp64
     img = np.asarray(render_frame(disp, Camera(), width=96, height=64,
                                   mesh_resolution=128, num_patches=4, samples=16))
     return img
@@ -202,7 +198,6 @@ def test_render_frames_batched():
     """Batched frame generation equals per-frame rendering."""
     from gfx_ocean_tpu.render import render_frames
     from gfx_ocean_tpu.render.camera import scripted_camera
-    import copy
 
     state = downsample_state(ot.ocean_state_from_assets(), 64)
     cfg = ot.OceanConfig(resolution=64, compute_normals=False)
@@ -220,13 +215,11 @@ def test_render_frames_batched():
         np.testing.assert_allclose(batch[i], single, atol=1e-5)
 
 
-def test_gather_pass_completes_near_field():
+def test_gather_pass_completes_near_field(disp64):
     """Oversized near-field triangles are finished by the giant-triangle
     gather pass: coverage at a small sample window matches a window large
     enough to hold every triangle (the scatter pass alone cannot do this)."""
-    state = downsample_state(ot.ocean_state_from_assets(), 64)
-    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
-    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    disp = disp64
     cam = Camera()
     cam.position = np.array([31.0, 2.5, 55.0])    # skimming the surface
     cam.rotation = np.array([0.0, 0.0, 0.0])      # (32-res mesh spans 62^2)
@@ -300,6 +293,14 @@ def test_homogeneous_visibility_fuzz():
     assert mismatches == 0, f"{mismatches}/{tested} visibility mismatches"
 
 
+@pytest.fixture(scope="module")
+def disp64():
+    """The repeated 64^2 one-step displacement used across raster tests."""
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    return ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+
+
 # --- pool rasterizer (the fast path) vs the window golden -------------------
 
 def _render_both(disp, cam, width, height, mesh_resolution, pool=1 << 20,
@@ -315,10 +316,8 @@ def _render_both(disp, cam, width, height, mesh_resolution, pool=1 << 20,
             np.asarray(img_w), np.asarray(z_w))
 
 
-def test_pool_matches_window_default_camera():
-    state = downsample_state(ot.ocean_state_from_assets(), 64)
-    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
-    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+def test_pool_matches_window_default_camera(disp64):
+    disp = disp64
     img_p, z_p, img_w, z_w = _render_both(disp, Camera(), 96, 64, 64)
     cov_p, cov_w = np.isfinite(z_p), np.isfinite(z_w)
     np.testing.assert_array_equal(cov_p, cov_w)
@@ -330,12 +329,10 @@ def test_pool_matches_window_default_camera():
     np.testing.assert_allclose(img_p, img_w, atol=1e-4)
 
 
-def test_pool_matches_window_fuzz_cameras():
+def test_pool_matches_window_fuzz_cameras(disp64):
     """Coverage + depth equality under random poses, including cameras
     inside the wave field (eye-plane-crossing triangles -> gather pass)."""
-    state = downsample_state(ot.ocean_state_from_assets(), 64)
-    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
-    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    disp = disp64
     rng = np.random.default_rng(3)
     for _ in range(10):
         cam = Camera()
@@ -351,12 +348,10 @@ def test_pool_matches_window_fuzz_cameras():
         np.testing.assert_allclose(img_p, img_w, atol=1e-4)
 
 
-def test_pool_overflow_spills_to_gather_pass():
+def test_pool_overflow_spills_to_gather_pass(disp64):
     """A deliberately tiny pool pushes the largest triangles into the
     gather pass; with enough giant slots the output is unchanged."""
-    state = downsample_state(ot.ocean_state_from_assets(), 64)
-    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
-    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    disp = disp64
     cam = Camera()
     ref_img, ref_z, _, _ = _render_both(disp, cam, 80, 48, 32)
     img, z = render_frame(disp, cam, width=80, height=48,
@@ -369,14 +364,12 @@ def test_pool_overflow_spills_to_gather_pass():
     np.testing.assert_allclose(np.asarray(img), ref_img, atol=1e-4)
 
 
-def test_pool_overflow_diagnostic_zero_at_default():
+def test_pool_overflow_diagnostic_zero_at_default(disp64):
     from gfx_ocean_tpu.render.camera import perspective as persp
     from gfx_ocean_tpu.render.mesh import build_grid as bg, instantiate as inst
     from gfx_ocean_tpu.render.raster import pool_overflow
 
-    state = downsample_state(ot.ocean_state_from_assets(), 64)
-    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
-    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    disp = disp64
     positions, uvs, tris = inst(bg(128, 4))
     cam = Camera()
     vp = (persp(480 / 280) @ cam.view()).astype(np.float32)
@@ -504,12 +497,10 @@ def test_foam_whitens_fragments():
     np.testing.assert_allclose(none_foam, base, atol=1e-6)  # zero mask inert
 
 
-def test_render_frame_with_foam():
+def test_render_frame_with_foam(disp64):
     """Foam plumbed through the full raster path brightens covered pixels
     and leaves coverage identical; foam=None stays the default path."""
-    state = downsample_state(ot.ocean_state_from_assets(), 64)
-    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
-    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    disp = disp64
     plain, z0 = render_frame(disp, Camera(), width=96, height=64,
                              mesh_resolution=32, return_depth=True)
     foamed, z1 = render_frame(disp, Camera(), width=96, height=64,
@@ -542,14 +533,12 @@ def test_pack_key_small_mesh_far_plane():
     assert k[0] < np.uint32(_KEY_MAX)
 
 
-def test_pool_matches_window_low_grazing_camera():
+def test_pool_matches_window_low_grazing_camera(disp64):
     """Regression for the packed crossing-bit bleed: a camera skimming
     just above the surface puts fully-front triangles with tiny clip w
     (huge off-screen bbox coords) in the scene; coverage must still
     match the window golden exactly."""
-    state = downsample_state(ot.ocean_state_from_assets(), 64)
-    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
-    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    disp = disp64
     cam = Camera()
     cam.position = np.array([30.0, 1.2, 40.0])
     cam.rotation = np.array([0.05, 0.3, 0.0])   # nearly level, slight up
@@ -595,10 +584,8 @@ def test_frag_normal_channel_q8():
     np.testing.assert_allclose(n_x[0], want, atol=2e-3)  # f16 lane taps
 
 
-def test_render_frame_q8_flag_changes_shading_not_coverage():
-    state = downsample_state(ot.ocean_state_from_assets(), 64)
-    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
-    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+def test_render_frame_q8_flag_changes_shading_not_coverage(disp64):
+    disp = disp64
     a, za = render_frame(disp, Camera(), width=96, height=64,
                          mesh_resolution=32, return_depth=True)
     b, zb = render_frame(disp, Camera(), width=96, height=64,
@@ -609,14 +596,12 @@ def test_render_frame_q8_flag_changes_shading_not_coverage():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
-def test_render_frame_honors_config_visual_scales():
+def test_render_frame_honors_config_visual_scales(disp64):
     """height_div/horiz_div/normal_height_scale (the OceanConfig fields
     for the GLSL literals) must reach the render layer: doubling
     height_div halves the rendered wave height (coverage shrinks toward
     the horizon); changing normal_height_scale changes shading only."""
-    state = downsample_state(ot.ocean_state_from_assets(), 64)
-    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
-    disp = ot.make_step(cfg)(state, jnp.float32(5.0)).displacement
+    disp = disp64
     base, zb = render_frame(disp, Camera(), width=96, height=64,
                             mesh_resolution=32, return_depth=True)
     flat, zf = render_frame(disp, Camera(), width=96, height=64,

@@ -104,10 +104,11 @@ def test_session_loop_reference_semantics(server):
     from gfx_ocean_tpu.render.camera import Camera
 
     base, srv = server
-    sess = srv.service.session
-    # Fresh, deterministic starting point regardless of test order.
+    # Fresh, deterministic starting point regardless of test order —
+    # restored afterwards so later tests see a clean session too.
     from gfx_ocean_tpu.serve import CameraSession
-    srv.service.session = sess = CameraSession()
+    prior = srv.service.session
+    srv.service.session = CameraSession()
 
     st = json.loads(_get(base + "/session/state")[1])
     assert st["position"] == [-8.0, 32.0, 120.0]      # src/lib.rs:74-77
@@ -144,6 +145,8 @@ def test_session_loop_reference_semantics(server):
     _get(base + "/session/input?press=a")
     assert json.loads(_get(base + "/session/state")[1])["input"] == {
         "forward": 0.0, "rot_x": 0.0, "rot_y": 0.0}
+
+    srv.service.session = prior
 
 
 def test_error_paths(server):

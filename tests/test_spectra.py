@@ -72,7 +72,7 @@ def test_synthesized_state_runs_end_to_end():
     assert np.abs(d[..., 1]).max() > 1e-3  # nontrivial waves
 
 
-def test_cascades_vmap(reference_state):
+def test_cascades_vmap():
     """Config 4: 3 cascaded patches via vmap, plus foam."""
     cfg = ot.OceanConfig(resolution=128, num_cascades=3, compute_foam=True,
                          compute_normals=True)

@@ -280,7 +280,7 @@ def test_packed_cascades(reference_state):
                                atol=1e-6, rtol=0)
 
 
-def test_uniform_rollout_exact_at_large_t0(reference_state):
+def test_uniform_rollout_exact_at_large_t0():
     """Regression: the uniform rollout's exact_cs used a plain f32
     omega*t product (no Dekker reduction) — ~3e-4 rad off at t ~ 1000 s,
     diverging from make_rollout past the field budget."""

@@ -183,3 +183,29 @@ def test_session_concurrent_requests(server):
     assert all(results)
     st = json.loads(_get(base + "/session/state")[1])
     assert np.isfinite(st["position"]).all() and st["sim_time"] > 0
+
+
+def test_serve_with_mesh_renders():
+    """The sharded-service branch (mesh != None) of frame_png: fields
+    gather to host and render through the f32 API path."""
+    import jax
+
+    from gfx_ocean_tpu.models.ocean import downsample_state
+    from gfx_ocean_tpu.parallel import make_mesh
+    from gfx_ocean_tpu.serve import serve
+
+    mesh = make_mesh(jax.devices()[:4], batch=1, row=4)
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    srv = serve(state, cfg, host="127.0.0.1", port=0, mesh=mesh)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        code, body, ctype = _get(base + "/frame.jpg?t=1.0&w=64&h=48")
+        assert code == 200 and ctype == "image/jpeg" and body[:2] == b"\xff\xd8"
+        m = json.loads(_get(base + "/metrics")[1])
+        assert m["mesh"] == {"batch": 1, "row": 4}
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -44,9 +44,13 @@ Shared passes:
  - gather: spilled triangles plus any triangle with a vertex behind the
    eye plane (unbounded projected bbox) are ranked by need and the top
    ``giants`` are edge-tested against every pixel, in groups, merging
-   depth + ID. Ties write arbitrarily (equal depth), in both impls.
- - deferred varyings: one per-pixel interpolation of uv/world from the
-   winning-ID image (z+id is 2 scattered channels instead of 6).
+   into the same packed visibility-key image as the scatter pass
+   (``_pack_key``: quantized z in the high bits, id in the low — ONE
+   uint32 channel; ties resolve to the lowest id, deterministically and
+   identically in every pass).
+ - deferred: one per-pixel reconstruction of uv/world varyings AND the
+   exact f32 depth from the winning id (vertex ids and corner uvs are
+   decoded arithmetically for the grid mesh, ``_decode_tri``).
 
 Rendering is decoupled from the benchmarked sim loop (BASELINE.json),
 but the pool impl is fast enough for interactive serving (serve.py).

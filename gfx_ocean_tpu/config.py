@@ -131,6 +131,10 @@ class OceanConfig:
     height_div: float = 3.0
     horiz_div: float = 3.5
     normal_height_scale: float = 180.0
+    # Opt-in Cook-Torrance specular from the reference's defined-but-unused
+    # GGX helpers (shader/ocean.frag:31-46); 0 = reference-faithful stylized
+    # shading, > 0 = the GGX roughness of the added lobe.
+    pbr_roughness: float = 0.0
 
     # --- render mesh (reference src/render.rs:44, :473-605) ---
     mesh_resolution: int = 128

@@ -100,31 +100,43 @@ def _precompute(state: OceanState, config: OceanConfig):
 
 
 def _fields_packed(state: OceanState, t: jax.Array, config: OceanConfig,
-                   pre) -> jax.Array:
+                   pre, ifft2=None, ifft2_planes=None) -> jax.Array:
     """Packed-transform step body: 3 fields from 2 transforms.
 
     The height field rides its own real-output Hermitian transform (at
     ``matmul_precision``); the two choppy fields share one complex
     transform of Z = H_dx + i*H_dz (at ``choppy_precision`` when set) —
     see ``ops/propagate.propagate_packed_planes``.
+
+    ``ifft2`` / ``ifft2_planes`` optionally override the two transforms
+    with drop-in twins (same ``(xr, xi, precision=, centered=)``
+    signature) — the hooks the explicit-collective distributed FFT plugs
+    into (``parallel/sharding.make_sharded_step`` with
+    ``fft="shard_map"``).
     """
+    if ifft2 is None:
+        ifft2 = functools.partial(ifft2_real_unnorm, impl=config.fft_impl,
+                                  direct_max=config.direct_dft_max)
+    if ifft2_planes is None:
+        ifft2_planes = functools.partial(
+            ifft2_planes_unnorm, impl=config.fft_impl,
+            direct_max=config.direct_dft_max)
     pre_planes, pre_rho, omega_rho = pre
     h_r, h_i, z_r, z_i = propagate_packed_planes(
         pre_planes, pre_rho, state.omega, omega_rho, t,
         config.domain_size, config.compat)
     centered = "ref" if config.compat.ref_sign else "canonical"
-    height = ifft2_real_unnorm(
-        h_r, h_i, impl=config.fft_impl, direct_max=config.direct_dft_max,
-        precision=config.matmul_precision, centered=centered)
+    height = ifft2(h_r, h_i, precision=config.matmul_precision,
+                   centered=centered)
     choppy_prec = config.choppy_precision or config.matmul_precision
-    dxf, dzf = ifft2_planes_unnorm(
-        z_r, z_i, impl=config.fft_impl, direct_max=config.direct_dft_max,
-        precision=choppy_prec, centered=centered)
+    dxf, dzf = ifft2_planes(z_r, z_i, precision=choppy_prec,
+                            centered=centered)
     return jnp.stack([dxf, height, dzf], axis=-1)
 
 
 def step(state: OceanState, t: jax.Array, config: OceanConfig,
-         pre: Optional[jax.Array] = None, ifft2=None) -> OceanFields:
+         pre: Optional[jax.Array] = None, ifft2=None,
+         ifft2_planes=None) -> OceanFields:
     """One simulation frame: propagate -> 2D iFFT x3 -> correction (+ extras).
 
     The three spectra are batched into one leading axis so the FFT runs as a
@@ -134,8 +146,8 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig,
     ``pre`` optionally passes the time-invariant propagate combination
     planes (``precompute_propagate``) so rollouts hoist them out of the
     scan — the flip gathers then happen once per rollout, not per frame.
-    ``ifft2`` optionally overrides the 2-D transform (see
-    ``_fields_from_specs``).
+    ``ifft2`` / ``ifft2_planes`` optionally override the 2-D transforms
+    (see ``_fields_from_specs`` / ``_fields_packed``).
     """
     if config.fft_impl == "pallas":
         from gfx_ocean_tpu.ops.pallas_step import pallas_fields  # noqa: PLC0415
@@ -145,10 +157,11 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig,
         else:  # leading batch axes (cascades): map the fused kernel
             disp = jax.vmap(lambda h, o: pallas_fields(h, o, t, config))(
                 state.h0, state.omega)
-    elif config.hermitian_pack and ifft2 is None:
+    elif config.hermitian_pack:
         if pre is None:
             pre = _precompute(state, config)
-        disp = _fields_packed(state, t, config, pre)
+        disp = _fields_packed(state, t, config, pre, ifft2=ifft2,
+                              ifft2_planes=ifft2_planes)
     else:
         if pre is None or not isinstance(pre, jax.Array):
             pre = precompute_propagate(state.h0, config.compat)

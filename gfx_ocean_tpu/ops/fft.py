@@ -390,6 +390,30 @@ def col_pass_real(ar, ai, prec, direct_max: int, fold: bool, negate: bool):
     return jnp.swapaxes(y, -1, -2)
 
 
+def col_pass_complex(ar, ai, prec, direct_max: int, fold: bool, negate: bool):
+    """Complex-output DFT along axis -2 — the packed-transform twin of
+    :func:`col_pass_real` (both planes kept: under Hermitian field packing
+    Re/Im of the final transform ARE the two packed fields). Shared by the
+    single-chip packed transform (:func:`ifft2_planes_unnorm`) and the
+    distributed shard body (``parallel/distributed_fft.py``) — same
+    folding convention, never forked."""
+    m = ar.shape[-2]
+    if m <= direct_max:
+        if fold:
+            wr, wi = (jnp.asarray(a) for a in
+                      _dft_matrix_out_alt_np(m, 1, 0, negate))
+        else:
+            wr, wi = dft_matrices(m, sign=1)
+        yr = _mm(wr, ar, prec) - _mm(wi, ai, prec)
+        yi = _mm(wr, ai, prec) + _mm(wi, ar, prec)
+        return yr, yi
+    ar = jnp.swapaxes(ar, -1, -2)
+    ai = jnp.swapaxes(ai, -1, -2)
+    yr, yi = _foursteps_last(ar, ai, prec, real_out=False, out_alt=fold,
+                             negate=negate)
+    return jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2)
+
+
 def ifft2_real_unnorm(
     xr: jnp.ndarray,
     xi: jnp.ndarray,
@@ -463,21 +487,5 @@ def ifft2_planes_unnorm(
             sign = correction_sign(n, ref_sign=negate)
             yr, yi = yr * sign, yi * sign
         return yr, yi
-    n = xr.shape[-1]
-    if n <= direct_max:
-        ar, ai = _direct_last(xr, xi, prec, real_out=False, out_alt=fold)
-    else:
-        ar, ai = _foursteps_last(xr, xi, prec, real_out=False, out_alt=fold)
-    m = xr.shape[-2]
-    if m <= direct_max:
-        if fold:
-            wr, wi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(m, 1, 0, negate))
-        else:
-            wr, wi = dft_matrices(m, sign=1)
-        yr = _mm(wr, ar, prec) - _mm(wi, ai, prec)
-        yi = _mm(wr, ai, prec) + _mm(wi, ar, prec)
-        return yr, yi
-    ar = jnp.swapaxes(ar, -1, -2)
-    ai = jnp.swapaxes(ai, -1, -2)
-    yr, yi = _foursteps_last(ar, ai, prec, real_out=False, out_alt=fold, negate=negate)
-    return jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2)
+    ar, ai = row_pass_complex(xr, xi, prec, direct_max, fold)
+    return col_pass_complex(ar, ai, prec, direct_max, fold, negate)

@@ -49,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gfx_ocean_tpu.config import OceanConfig
 from gfx_ocean_tpu.ops.propagate import _phase_mod_2pi
-from gfx_ocean_tpu.ops.fft import _dft_matrix_out_alt_np
+from gfx_ocean_tpu.ops.fft import (_dft_matrix_np, _dft_matrix_out_alt_np,
+                                   _split, _twiddle_np)
 
 
 def _dot3(a, b, dims):
@@ -327,6 +328,265 @@ def _blocked_fields(h0_pair, omega, t_arr, h0n, awr, awi, config: OceanConfig,
     return planes
 
 
+# ---------------------------------------------------------------------------
+# Four-step pipeline for N >= 2048 (the reference's scaling frontier).
+#
+# The XLA einsum four-step (ops/fft.py) plateaus at ~7 ms/axis-pass at 4096^2
+# because every stage (small DFT, twiddle, small DFT, swap) is its own HBM
+# round trip. Here each axis pass is ONE Pallas kernel: a band is read once,
+# all four-step stages run on VMEM-resident tiles (MXU dots against the tiny
+# N1/N2 tables), and the band is written once. The row kernel additionally
+# fuses the packed Hermitian propagate (ops/propagate.propagate_packed_planes
+# — 3 fields from 2 transforms), so the evolved spectra never touch HBM,
+# mirroring the single-block kernel's design at the four-step scale.
+#
+# Index bookkeeping (matches ops/fft._foursteps_last exactly):
+#   k = N2*k1 + k2, n = n1 + N1*n2
+#   y[n] = sum_k2 W_N[n1 k2] * (sum_k1 W_N1[n1 k1] X[k1,k2]) * W_N2[n2 k2]
+# The row pass STORES each transformed row in (n1, n2) blocked order
+# (position n1*N2 + n2 instead of n1 + N1*n2): Mosaic's cheap relayouts are
+# sublane-only, and the true order would need a lane<->sublane transpose per
+# band. The column pass is order-agnostic along x (it transforms columns),
+# so the single deferred fix is one XLA transpose of the final (3, N, N)
+# output (~0.5 ms) — the analog of the reference's Stockham auto-sort
+# absorbing the butterfly permutation (shader/fft_row.comp:36).
+# ---------------------------------------------------------------------------
+
+
+def _khat_pair_in_kernel(n: int, domain_size: float, wrap: bool,
+                         rows: int, row_off):
+    """(khx, khy, khx o rho, khy o rho) from iotas for a row band.
+
+    rho is the DFT-index negation (i -> (-i) mod N, ops/propagate.roll_flip);
+    the rho-gathered grids are what conj(S o rho) of the packed propagate
+    consumes. Computed pointwise from transformed iotas — no gathers, and
+    no (N, N) host constants shipped per jit (the HTTP-413 trap,
+    ops/propagate.propagate_packed_planes)."""
+
+    def grids(ix, iy):
+        cx = 2.0 * ix - jnp.float32(n + 1)
+        cy = 2.0 * iy - jnp.float32(n + 1)
+        if wrap:
+            two32 = jnp.float32(2.0 ** 32)
+            cx = jnp.where(cx < 0, cx + two32, cx)
+            cy = jnp.where(cy < 0, cy + two32, cy)
+        scale = jnp.float32(np.pi / domain_size)
+        kx = cx * scale
+        ky = cy * scale
+        k_len = jnp.sqrt(kx * kx + ky * ky)
+        safe = k_len > 1.0e-10
+        inv = jnp.where(safe, 1.0 / jnp.where(safe, k_len, 1.0), 0.0)
+        return kx * inv, ky * inv
+
+    ix = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1).astype(jnp.float32)
+    iy = (jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0).astype(jnp.float32)
+          + row_off.astype(jnp.float32))
+    khx, khy = grids(ix, iy)
+    nf = jnp.float32(n)
+    ixq = jnp.where(ix == 0, 0.0, nf - ix)
+    iyq = jnp.where(iy == 0, 0.0, nf - iy)
+    khxq, khyq = grids(ixq, iyq)
+    return khx, khy, khxq, khyq
+
+
+def _fourstep_row_kernel(
+    t_ref,          # SMEM (1, 1) f32
+    pre_ref,        # VMEM (4, B, N) f32 — P1..P4 row band
+    preq_ref,       # VMEM (4, B, N) f32 — rho-gathered P1..P4
+    om_ref,         # VMEM (B, N) f32
+    omq_ref,        # VMEM (B, N) f32 — rho-gathered omega
+    w1r_ref, w1i_ref,   # (N1, N1) — x-half centering fold in rows
+    w2r_ref, w2i_ref,   # (N2, N2)
+    ttr_ref, tti_ref,   # (N1, N2) twiddle
+    y_ref,          # VMEM (2, 2, B, N) f32 out — (set, plane), x BLOCKED order
+    *,
+    n: int, n1: int, n2: int, block: int,
+    domain_size: float, wrap_k: bool, precision: str,
+):
+    """Packed Hermitian propagate + four-step row pass for one row band."""
+    dot = _make_dot(precision)
+    t = t_ref[0, 0]
+    ph = _phase_mod_2pi(om_ref[:, :], t)
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    phq = _phase_mod_2pi(omq_ref[:, :], t)
+    cq, sq = jnp.cos(phq), jnp.sin(phq)
+    sr = c * pre_ref[0] + s * pre_ref[1]       # S = evolved height spectrum
+    si = s * pre_ref[2] + c * pre_ref[3]
+    tr = cq * preq_ref[0] + sq * preq_ref[1]   # S o rho
+    ti = sq * preq_ref[2] + cq * preq_ref[3]
+    half = jnp.float32(0.5)
+    h_r = half * (sr + tr)
+    h_i = half * (si - ti)
+    row_off = pl.program_id(0) * block
+    khx, khy, khxq, khyq = _khat_pair_in_kernel(
+        n, domain_size, wrap_k, block, jnp.int32(row_off))
+    dx_r = half * (khx * si + khxq * ti)
+    dx_i = half * (khxq * tr - khx * sr)
+    dz_r = half * (khy * si + khyq * ti)
+    dz_i = half * (khyq * tr - khy * sr)
+    z_r = dx_r - dz_i                          # Z = H_dx + i * H_dz
+    z_i = dx_i + dz_r
+
+    w1r, w1i = w1r_ref[:, :], w1i_ref[:, :]
+    w2r, w2i = w2r_ref[:, :], w2i_ref[:, :]
+    ttr, tti = ttr_ref[:, :][:, None, :], tti_ref[:, :][:, None, :]
+
+    def axis_pass(xr, xi, idx):
+        # (B, N) -> (k1, B*k2) — sublane-only relayout (lanes untouched)
+        xr = xr.reshape(block, n1, n2).transpose(1, 0, 2).reshape(n1, -1)
+        xi = xi.reshape(block, n1, n2).transpose(1, 0, 2).reshape(n1, -1)
+        # stage 1: A = W1 @ X over k1 (centering fold rides W1's rows)
+        ar = dot(w1r, xr, _DIMS_NN) - dot(w1i, xi, _DIMS_NN)
+        ai = dot(w1r, xi, _DIMS_NN) + dot(w1i, xr, _DIMS_NN)
+        # twiddle T[n1, k2], broadcast over the band
+        ar = ar.reshape(n1, block, n2)
+        ai = ai.reshape(n1, block, n2)
+        br = ar * ttr - ai * tti
+        bi = ar * tti + ai * ttr
+        # stage 2: Y = B @ W2^T over k2 (lane contraction)
+        br = br.reshape(n1 * block, n2)
+        bi = bi.reshape(n1 * block, n2)
+        yr = dot(br, w2r, _DIMS_NT) - dot(bi, w2i, _DIMS_NT)
+        yi = dot(br, w2i, _DIMS_NT) + dot(bi, w2r, _DIMS_NT)
+        # (n1, B, n2) -> (B, n1, n2): sublane-only; stored x-BLOCKED
+        y_ref[idx, 0] = yr.reshape(n1, block, n2).transpose(1, 0, 2).reshape(
+            block, n)
+        y_ref[idx, 1] = yi.reshape(n1, block, n2).transpose(1, 0, 2).reshape(
+            block, n)
+
+    axis_pass(h_r, h_i, 0)
+    axis_pass(z_r, z_i, 1)
+
+
+def _fourstep_col_kernel(
+    y_ref,          # VMEM (2, 2, N, C) f32 — row-pass planes, C perm-x cols
+    w1r_ref, w1i_ref,   # (N1, N1) — y-half fold + Q2 flip in rows
+    w2r_ref, w2i_ref,   # (N2, N2)
+    ttr_ref, tti_ref,   # (N1, N2)
+    out_ref,        # VMEM (3, N, C) f32 — (disp_x, height, disp_z)
+    *,
+    n: int, n1: int, n2: int, precision: str,
+):
+    """Four-step column pass, real/complex out, for one column band."""
+    dot = _make_dot(precision)
+    w1r, w1i = w1r_ref[:, :], w1i_ref[:, :]
+    w2r, w2i = w2r_ref[:, :], w2i_ref[:, :]
+    ttr, tti = ttr_ref[:, :][:, :, None], tti_ref[:, :][:, :, None]
+    cb = y_ref.shape[-1]
+
+    def stages(xr, xi):
+        # rows m = N2*m1 + m2: m1 is the outer dim — natural (m1, m2*C) view
+        xr = xr.reshape(n1, n2 * cb)
+        xi = xi.reshape(n1, n2 * cb)
+        ar = dot(w1r, xr, _DIMS_NN) - dot(w1i, xi, _DIMS_NN)
+        ai = dot(w1r, xi, _DIMS_NN) + dot(w1i, xr, _DIMS_NN)
+        ar = ar.reshape(n1, n2, cb)
+        ai = ai.reshape(n1, n2, cb)
+        br = ar * ttr - ai * tti
+        bi = ar * tti + ai * ttr
+        # (n1, m2, C) -> (m2, n1*C): sublane-only relayout, then W2 @ .
+        br = br.transpose(1, 0, 2).reshape(n2, n1 * cb)
+        bi = bi.transpose(1, 0, 2).reshape(n2, n1 * cb)
+        return br, bi
+
+    # height: real output only (correction keeps Re — 2 dots, not 4)
+    br, bi = stages(y_ref[0, 0], y_ref[0, 1])
+    out_ref[1] = (dot(w2r, br, _DIMS_NN) - dot(w2i, bi, _DIMS_NN)).reshape(
+        n, cb)
+    # packed choppy pair: Re -> disp_x, Im -> disp_z
+    br, bi = stages(y_ref[1, 0], y_ref[1, 1])
+    out_ref[0] = (dot(w2r, br, _DIMS_NN) - dot(w2i, bi, _DIMS_NN)).reshape(
+        n, cb)
+    out_ref[2] = (dot(w2r, bi, _DIMS_NN) + dot(w2i, br, _DIMS_NN)).reshape(
+        n, cb)
+
+
+def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
+                     interpret: bool) -> jnp.ndarray:
+    """Two-kernel four-step pipeline for N >= 2048: fused packed propagate
+    + row pass (grid over row bands), column pass (grid over column bands),
+    then the one deferred x-unblocking transpose. The (2, 2, N, N) row-pass
+    planes are the only intermediate HBM traffic."""
+    from gfx_ocean_tpu.ops.propagate import precompute_propagate_packed  # noqa: PLC0415
+
+    # n2 pinned to the 128-lane width (NOT the FLOP-balanced _split):
+    # every reshape/elementwise/dot in both kernels then runs on full
+    # lane tiles. The extra arithmetic (cost ~ n1 + n2 per element) is
+    # noise — the pipeline is HBM-bound.
+    n2 = 128
+    n1 = n // n2
+    block = 16
+    cblock = 128
+    if n % block or n % cblock or n1 < 16 or n1 > 256:
+        raise ValueError(
+            f"four-step pallas pipeline supports N in [2048, 32768], got {n}")
+    negate = config.compat.ref_sign
+    w1r_row, w1i_row = (jnp.asarray(a) for a in
+                        _dft_matrix_out_alt_np(n1, 1, 0, False))
+    w1r_col, w1i_col = (jnp.asarray(a) for a in
+                        _dft_matrix_out_alt_np(n1, 1, 0, negate))
+    w2r, w2i = (jnp.asarray(a) for a in _dft_matrix_np(n2, 1))
+    ttr, tti = (jnp.asarray(a) for a in _twiddle_np(n1, n2, 1))
+    pre, pre_rho, omega_rho = precompute_propagate_packed(
+        h0_pair, omega, config.compat)
+
+    vmem = pltpu.VMEM
+    vmem_hint = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    row_kernel = functools.partial(
+        _fourstep_row_kernel, n=n, n1=n1, n2=n2, block=block,
+        domain_size=float(config.domain_size), wrap_k=config.compat.wrap_k,
+        precision=config.matmul_precision)
+    tabspec = pl.BlockSpec(memory_space=vmem)
+    y = pl.pallas_call(
+        row_kernel,
+        grid=(n // block,),
+        out_shape=jax.ShapeDtypeStruct((2, 2, n, n), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, block, n), lambda i: (0, i, 0), memory_space=vmem),
+            pl.BlockSpec((4, block, n), lambda i: (0, i, 0), memory_space=vmem),
+            pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=vmem),
+            pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=vmem),
+            tabspec, tabspec, tabspec, tabspec, tabspec, tabspec,
+        ],
+        out_specs=pl.BlockSpec((2, 2, block, n), lambda i: (0, 0, i, 0),
+                               memory_space=vmem),
+        interpret=interpret,
+        compiler_params=vmem_hint,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 8 * block * n * (n1 + n2),
+            bytes_accessed=(10 * block * n + 4 * block * n) * 4,
+            transcendentals=4 * block * n,
+        ),
+    )(t_arr, pre, pre_rho, omega, omega_rho,
+      w1r_row, w1i_row, w2r, w2i, ttr, tti)
+
+    col_kernel = functools.partial(
+        _fourstep_col_kernel, n=n, n1=n1, n2=n2,
+        precision=config.matmul_precision)
+    planes = pl.pallas_call(
+        col_kernel,
+        grid=(n // cblock,),
+        out_shape=jax.ShapeDtypeStruct((3, n, n), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((2, 2, n, cblock), lambda j: (0, 0, 0, j),
+                         memory_space=vmem),
+            tabspec, tabspec, tabspec, tabspec, tabspec, tabspec,
+        ],
+        out_specs=pl.BlockSpec((3, n, cblock), lambda j: (0, 0, j),
+                               memory_space=vmem),
+        interpret=interpret,
+        compiler_params=vmem_hint,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * 4 * cblock * n * (n1 + n2),
+            bytes_accessed=(4 * n * cblock + 3 * n * cblock) * 4,
+            transcendentals=0,
+        ),
+    )(y, w1r_col, w1i_col, w2r, w2i, ttr, tti)
+    # Deferred x-unblocking: stored position n1*N2 + n2 -> true x n1 + N1*n2.
+    return planes.reshape(3, n, n1, n2).swapaxes(-1, -2).reshape(3, n, n)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
 def pallas_fields(
     h0_pair: jnp.ndarray,
@@ -341,14 +601,19 @@ def pallas_fields(
     (tested against both the jnp path and the CPU golden). N <= 512 at
     non-"highest" precision runs as ONE VMEM-resident kernel; N = 1024
     (any tier) and 512@"highest" use the row/column-blocked two-kernel
-    pipeline (``_blocked_fields``). Larger N belongs to the four-step
-    matmul path in ``ops/fft.py``.
+    pipeline (``_blocked_fields``); N >= 2048 uses the four-step
+    two-kernel pipeline (``_fourstep_fields`` — fused packed-Hermitian
+    propagate + in-VMEM four-step stages, the Pallas answer to the XLA
+    einsum plateau at the reference's scaling frontier, SURVEY §7.3).
     """
     if h0_pair.ndim != 3:
         raise ValueError("pallas_fields takes a single unbatched state; vmap for cascades")
     n = h0_pair.shape[-1]
+    t_arr_4 = jnp.reshape(t.astype(jnp.float32), (1, 1))
     if n > 1024:
-        raise ValueError(f"fused Pallas step supports N <= 1024, got {n}")
+        planes = _fourstep_fields(h0_pair, omega, t_arr_4, config, n,
+                                  interpret)
+        return jnp.moveaxis(planes, 0, -1)
 
     # A = D_alt @ W: the y-half of the centering sign folded into rows.
     awr, awi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(n, 1, 0, False))

@@ -43,6 +43,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from gfx_ocean_tpu.ops.fft import (
+    col_pass_complex,
     col_pass_real,
     resolve_precision,
     row_pass_complex,
@@ -71,6 +72,56 @@ def _shard_body(xr, xi, *, axis_name: str, prec, direct_max: int,
     # Back to row-sharded so the caller's layout is unchanged.
     return jax.lax.all_to_all(fr, axis_name, split_axis=fr.ndim - 2,
                               concat_axis=fr.ndim - 1, tiled=True)
+
+
+def _shard_body_planes(xr, xi, *, axis_name: str, prec, direct_max: int,
+                       fold: bool, negate: bool):
+    """Complex-output twin of :func:`_shard_body` — the transform under
+    Hermitian field packing (``models/ocean.py`` ``hermitian_pack``): the
+    two packed fields are exactly (Re, Im) of the final transform, so BOTH
+    planes ride back through the output all_to_all."""
+    ar, ai = row_pass_complex(xr, xi, prec, direct_max, fold)
+
+    def t(a, split, concat):
+        return jax.lax.all_to_all(a, axis_name, split_axis=split,
+                                  concat_axis=concat, tiled=True)
+
+    a2r = t(ar, ar.ndim - 1, ar.ndim - 2)
+    a2i = t(ai, ai.ndim - 1, ai.ndim - 2)
+    yr, yi = col_pass_complex(a2r, a2i, prec, direct_max, fold, negate)
+    return (t(yr, yr.ndim - 2, yr.ndim - 1),
+            t(yi, yi.ndim - 2, yi.ndim - 1))
+
+
+def ifft2_planes_unnorm_sharded(
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "row",
+    direct_max: int = 1024,
+    precision: str = "bf16x3",
+    centered: Optional[str] = None,
+    leading_axes: Optional[Sequence[Optional[str]]] = None,
+):
+    """Row-sharded complex-output unnormalized 2-D inverse DFT — the
+    distributed twin of ``ops.fft.ifft2_planes_unnorm`` (the packed-field
+    transform). Same schedule as :func:`ifft2_real_unnorm_sharded`; both
+    output planes return row-sharded."""
+    if centered not in (None, "ref", "canonical"):
+        raise ValueError(f"centered must be None|'ref'|'canonical', got {centered!r}")
+    prec = resolve_precision(precision)
+    ndim = xr.ndim
+    lead = list(leading_axes) if leading_axes is not None else [None] * (ndim - 2)
+    if len(lead) != ndim - 2:
+        raise ValueError(f"leading_axes has {len(lead)} entries for {ndim - 2} leading dims")
+    spec = P(*lead, axis_name, None)
+    body = functools.partial(
+        _shard_body_planes, axis_name=axis_name, prec=prec,
+        direct_max=direct_max, fold=centered is not None,
+        negate=centered == "ref")
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                   out_specs=(spec, spec))
+    return fn(xr, xi)
 
 
 def ifft2_real_unnorm_sharded(

@@ -65,7 +65,9 @@ def shard_state(state: OceanState, mesh: Mesh) -> OceanState:
 
 
 def _make_shard_map_ifft2(config: OceanConfig, mesh: Mesh, batched: bool):
-    """The explicit-collective transform as a drop-in ``step(ifft2=...)``.
+    """The explicit-collective transforms as drop-in ``step(ifft2=...,
+    ifft2_planes=...)`` hooks (real-output for the plain/height transform,
+    complex-output for the packed choppy pair).
 
     Derives the leading-dim sharding per call: the dim immediately before
     the (N, N) grid dims is the batch dim when ``batched`` (present in both
@@ -74,30 +76,39 @@ def _make_shard_map_ifft2(config: OceanConfig, mesh: Mesh, batched: bool):
     ahead of it is replicated.
     """
     from gfx_ocean_tpu.parallel.distributed_fft import (  # noqa: PLC0415
-        ifft2_real_unnorm_sharded)
+        ifft2_planes_unnorm_sharded, ifft2_real_unnorm_sharded)
 
-    def ifft2(xr, xi, precision, centered):
+    def lead_for(xr):
         lead = [None] * (xr.ndim - 2)
         if batched and lead:
             lead[-1] = "batch"
+        return lead
+
+    def ifft2(xr, xi, precision, centered):
         return ifft2_real_unnorm_sharded(
             xr, xi, mesh, axis_name="row",
             direct_max=config.direct_dft_max, precision=precision,
-            centered=centered, leading_axes=lead)
+            centered=centered, leading_axes=lead_for(xr))
 
-    return ifft2
+    def ifft2_planes(xr, xi, precision, centered):
+        return ifft2_planes_unnorm_sharded(
+            xr, xi, mesh, axis_name="row",
+            direct_max=config.direct_dft_max, precision=precision,
+            centered=centered, leading_axes=lead_for(xr))
+
+    return ifft2, ifft2_planes
 
 
 def _resolve_fft(config: OceanConfig, mesh: Mesh, batched: bool, fft: str):
+    """Returns the ``(ifft2, ifft2_planes)`` hook pair (or (None, None)
+    for GSPMD). The packed (``hermitian_pack``) configuration is fully
+    supported under both strategies — the 4096^2-class setup runs on the
+    explicit-collective transform too."""
     if fft == "gspmd":
-        return None
+        return None, None
     if fft == "shard_map":
         if config.fft_impl == "pallas":
             raise ValueError("fft='shard_map' applies to the matmul/xla paths")
-        if config.hermitian_pack:
-            raise ValueError("fft='shard_map' does not support hermitian_pack "
-                             "yet; GSPMD (the default) partitions the packed "
-                             "path fine")
         return _make_shard_map_ifft2(config, mesh, batched)
     raise ValueError(f"fft must be 'gspmd' or 'shard_map', got {fft!r}")
 
@@ -116,7 +127,7 @@ def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True,
     hand-scheduled distributed FFT (``parallel/distributed_fft.py``) —
     pinned all_to_all transposes, same numerics.
     """
-    ifft2 = _resolve_fft(config, mesh, batched, fft)
+    ifft2, ifft2_planes = _resolve_fft(config, mesh, batched, fft)
     specs = state_specs(batched)
     field_spec = (P("batch", "row", None, None) if batched
                   else P("row", None, None))
@@ -127,7 +138,7 @@ def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True,
                     None)
 
     def fn(state: OceanState, t):
-        return step(state, t, config, ifft2=ifft2)
+        return step(state, t, config, ifft2=ifft2, ifft2_planes=ifft2_planes)
 
     # Outputs: displacement (..., N, N, 3), normals (..., N, N, 3),
     # foam (..., N, N) — shard rows, replicate channels.
@@ -162,13 +173,14 @@ def make_sharded_rollout(config: OceanConfig, mesh: Mesh, batched: bool = True,
 
     from gfx_ocean_tpu.models.ocean import _precompute  # noqa: PLC0415
 
-    ifft2 = _resolve_fft(config, mesh, batched, fft)
+    ifft2, ifft2_planes = _resolve_fft(config, mesh, batched, fft)
     specs = state_specs(batched)
     state_sharding = OceanState(h0=NamedSharding(mesh, specs.h0),
                                 omega=NamedSharding(mesh, specs.omega))
 
     def one(state, t, pre):
-        fields = step(state, t, config, pre=pre, ifft2=ifft2)
+        fields = step(state, t, config, pre=pre, ifft2=ifft2,
+                      ifft2_planes=ifft2_planes)
         out = jnp.sum(fields.displacement, dtype=jnp.float32)
         if fields.normals is not None:
             out = out + jnp.sum(fields.normals, dtype=jnp.float32)

@@ -63,6 +63,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from gfx_ocean_tpu.render import shade as sh
 from gfx_ocean_tpu.render.camera import Camera, perspective
@@ -223,21 +225,31 @@ def _tri_corners(clip, tris, grid_shape=None):
 
 
 def _lambdas(v_clip, pnx, pny, pix_dims):
-    """Homogeneous edge functions at pixels.
+    """Homogeneous edge functions at pixels, sign(det)-folded.
 
     Args:
         v_clip: (..., 3, 4) clip coords of a triangle batch.
         pnx, pny: pixel-center NDC coords with ``pix_dims`` trailing pixel
             dims, broadcastable against the triangle batch dims.
     Returns:
-        (lam0, lam1, lam2, det): lam_i(p) = (v_j x v_k) . (pnx, pny, 1)
-        over clip (x, y, w); det = (v1 x v2) . v0. A pixel is a visible
-        hit iff all lam_i * det >= 0 and (lam0+lam1+lam2) * det > 0
-        (the last also enforces w(p) > 0 — in front of the eye).
+        (lam0, lam1, lam2, det): lam_i(p) = sign(det) * (v_j x v_k) .
+        (pnx, pny, 1) over clip (x, y, w); det = (v1 x v2) . v0. The
+        sign fold makes the hit test ``all lam_i >= 0 and
+        (lam0+lam1+lam2) > 0`` (the last also enforces w(p) > 0 — in
+        front of the eye) — the IDENTICAL predicate the pool impl's
+        per-slot stage evaluates from its sign-folded table rows, so
+        pool/window/giant coverage agrees even on the IEEE edge where
+        ``lam * det`` underflows to -0.0 (an unfolded ``lam * det >= 0``
+        would accept there while the folded form rejects). Sign flips
+        are exact in f32 and cancel in every normalized-lambda ratio, so
+        interpolated varyings and depth are bit-unchanged. det == 0
+        degenerates (sign 0) zero every lam and are rejected by the
+        denom > 0 test.
     """
     v = v_clip[..., (0, 1, 3)]                      # (..., 3, 3): x, y, w
     cr = jnp.cross(v[..., (1, 2, 0), :], v[..., (2, 0, 1), :])  # (...,3,3)
     det = jnp.sum(cr[..., 0, :] * v[..., 0, :], axis=-1)
+    cr = cr * jnp.sign(det)[..., None, None]
     pix_axes = tuple(range(-pix_dims, 0))
 
     def ev(i):  # lam_i = cr_i . (pnx, pny, 1), broadcast over pixels
@@ -259,9 +271,28 @@ def _pixel_ndc(width: int, height: int):
 _KEY_MAX = jnp.uint32(0xFFFFFFFF)
 
 
+_MIN_Z_BITS = 12
+
+
 def _id_bits(t_count: int) -> int:
-    """Bits reserved for the triangle id in the packed visibility key."""
-    return max(int(t_count - 1).bit_length(), 1)
+    """Bits reserved for the triangle id in the packed visibility key.
+
+    Raises for meshes whose id width would squeeze the quantized z below
+    ``_MIN_Z_BITS`` (the production 128^2 x 4 mesh uses 17 id / 15 z
+    bits, depth quantum 6e-5 NDC; at 12 z bits the quantum is 4.9e-4 and
+    the near-tie band in which winners are id-ordered rather than
+    z-ordered becomes visually plausible — refuse rather than degrade
+    silently; render a mesh that big with multiple passes or a smaller
+    patch count instead).
+    """
+    bits = max(int(t_count - 1).bit_length(), 1)
+    if 32 - bits < _MIN_Z_BITS:
+        raise ValueError(
+            f"{t_count} triangles need {bits} id bits, leaving "
+            f"{32 - bits} z bits in the packed visibility key "
+            f"(minimum {_MIN_Z_BITS}); use a mesh with at most "
+            f"2^{32 - _MIN_Z_BITS} triangles")
+    return bits
 
 
 def _pack_key(z, tri_id, hit, id_bits: int):
@@ -285,12 +316,20 @@ def _pack_key(z, tri_id, hit, id_bits: int):
     # meshes), overflowing the field; and capping one quantum below the
     # top keeps the max legitimate key strictly below _KEY_MAX, so a
     # max-id far-plane hit can never alias the no-hit sentinel.
+    # Clip/min in f32/i32, convert to u32 LAST: the clipped value is in
+    # [0, 2^z_bits - 2] which always fits int32 (z_bits <= 31), and
+    # Mosaic — which also traces this function, inside the slot kernel —
+    # has neither an f32 -> u32 cast nor an unsigned integer min.
+    # Identical results to the direct u32 forms for this range.
     zq = jnp.minimum(
         jnp.clip((z * 0.5 + 0.5) * float(1 << z_bits), 0.0,
-                 float((1 << z_bits) - 2)).astype(jnp.uint32),
-        jnp.uint32((1 << z_bits) - 2))
+                 float((1 << z_bits) - 2)).astype(jnp.int32),
+        jnp.int32((1 << z_bits) - 2)).astype(jnp.uint32)
     key = (zq << id_bits) | tri_id.astype(jnp.uint32)
-    return jnp.where(hit, key, _KEY_MAX)
+    # NB: a fresh literal, not the module-level _KEY_MAX array — this
+    # function is also traced inside the Pallas slot kernel, where a
+    # captured device-array constant is rejected.
+    return jnp.where(hit, key, jnp.uint32(0xFFFFFFFF))
 
 
 def _giant_pass(clip, tris_all, score, key_img, width: int,
@@ -321,11 +360,10 @@ def _giant_pass(clip, tris_all, score, key_img, width: int,
 
     def giant_group(kb, ix, ok):
         v_clip = clip[tris_all[ix]]                     # (G, 3, 4)
-        lam0, lam1, lam2, det = _lambdas(v_clip, pnx_f[None], pny_f[None], 2)
-        det = det[:, None, None]
+        lam0, lam1, lam2, _ = _lambdas(v_clip, pnx_f[None], pny_f[None], 2)
         denom = lam0 + lam1 + lam2                      # (G, H, W)
-        hit = ((lam0 * det >= 0) & (lam1 * det >= 0) & (lam2 * det >= 0)
-               & (denom * det > 0)) & ok[:, None, None]
+        hit = ((lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0)
+               & (denom > 0)) & ok[:, None, None]
         lam_w = (lam0 * v_clip[:, None, None, 0, 3]
                  + lam1 * v_clip[:, None, None, 1, 3]
                  + lam2 * v_clip[:, None, None, 2, 3])
@@ -381,35 +419,62 @@ def _decode_tri(id_img, grid_shape):
     return vt, jnp.stack([u, v], axis=-1)
 
 
-def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
+def _edge_table(v_clip):
+    """Per-triangle sign-folded homogeneous edge table, (T, 15) f32:
+    columns [cr00..cr22 (9), z0 z1 z2, w0 w1 w2]. Shared by the pool
+    impl's slot stage and the deferred pass of BOTH impls, so every
+    stage evaluates lam/denom/z from literally the same coefficients.
+    See ``_lambdas`` for the sign-fold semantics."""
+    t_count = v_clip.shape[0]
+    v3 = v_clip[..., (0, 1, 3)]                         # clip (x, y, w)
+    cr = jnp.cross(v3[:, (1, 2, 0), :], v3[:, (2, 0, 1), :])   # (T, 3, 3)
+    det = jnp.sum(cr[:, 0, :] * v3[:, 0, :], axis=-1)
+    cr = cr * jnp.sign(det)[:, None, None]
+    return jnp.concatenate([cr.reshape(t_count, 9), v_clip[..., 2],
+                            v_clip[..., 3]], axis=1)    # (T, 15)
+
+
+def _deferred_table(ftab, world, tris_all, uvs, grid_shape):
+    """Pack everything the deferred pass needs into ONE per-triangle f32
+    table: [edge table (15) | world corners (9) | uv corners (6, only
+    when the mesh is not arithmetic-decodable)]. The deferred pass then
+    costs a single (H*W)-row table gather instead of separate per-corner
+    clip/world/uv gathers (3x the rows each) plus per-pixel cross
+    products — contiguous row gathers are the cheap gather form on TPU
+    (docs/DESIGN.md)."""
+    wc = _tri_corners(world, tris_all, grid_shape)      # (T, 3, 3)
+    cols = [ftab, wc.reshape(wc.shape[0], 9)]
+    if grid_shape is None:
+        cols.append(uvs[tris_all].reshape(-1, 6))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _deferred_shade(displacement, dtab, key_img,
                     camera_pos, width: int, height: int, id_bits: int,
                     grid_shape=None, foam=None, frag_channel: int = 1,
-                    height_scale: float = 180.0):
+                    height_scale: float = 180.0,
+                    pbr_roughness: float = 0.0):
     """Per-pixel varying reconstruction + fragment shading from the
     winning visibility-key image. Perspective-correct uv/world via the
     same lambda weights; the EXACT f32 depth is recomputed here from the
-    winning triangle's clip rows (the scatter passes min-reduce only the
-    quantized key — see ``_pack_key``). Uncovered pixels compute garbage
-    from id 0 and are masked by ``covered`` at the end. Returns
+    winning triangle's packed row (the visibility passes min-reduce only
+    the quantized key — see ``_pack_key``). Uncovered pixels compute
+    garbage from id 0 and are masked by ``covered`` at the end. Returns
     ``(color, z_img)``."""
     covered = key_img != _KEY_MAX
     id_img = (key_img & jnp.uint32((1 << id_bits) - 1)).astype(jnp.int32)
     pnx_f, pny_f = _pixel_ndc(width, height)
-    if grid_shape is not None:
-        vt, uv_corners = _decode_tri(id_img, grid_shape)  # no table gathers
-    else:
-        vt = tris_all[id_img]                           # (H, W, 3)
-        uv_corners = None
-    v_clip_pix = clip[vt]                               # (H, W, 3, 4)
-    lam0, lam1, lam2, _ = _lambdas(v_clip_pix, pnx_f, pny_f, 0)
+    trow = dtab[id_img]                                 # (H, W, C) one gather
+    lam0 = trow[..., 0] * pnx_f + trow[..., 1] * pny_f + trow[..., 2]
+    lam1 = trow[..., 3] * pnx_f + trow[..., 4] * pny_f + trow[..., 5]
+    lam2 = trow[..., 6] * pnx_f + trow[..., 7] * pny_f + trow[..., 8]
     denom = lam0 + lam1 + lam2
     inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
 
-    lam_w = (lam0 * v_clip_pix[..., 0, 3] + lam1 * v_clip_pix[..., 1, 3]
-             + lam2 * v_clip_pix[..., 2, 3])
-    z_pix = (lam0 * v_clip_pix[..., 0, 2] + lam1 * v_clip_pix[..., 1, 2]
-             + lam2 * v_clip_pix[..., 2, 2]) / jnp.where(lam_w == 0, 1.0,
-                                                         lam_w)
+    lam_w = (lam0 * trow[..., 12] + lam1 * trow[..., 13]
+             + lam2 * trow[..., 14])
+    z_pix = (lam0 * trow[..., 9] + lam1 * trow[..., 10]
+             + lam2 * trow[..., 11]) / jnp.where(lam_w == 0, 1.0, lam_w)
     z_img = jnp.where(covered, z_pix.astype(jnp.float32), jnp.inf)
 
     def interp(a):                                      # (H, W, 3, A) corners
@@ -417,15 +482,119 @@ def _deferred_shade(displacement, world, clip, tris_all, uvs, key_img,
                 + lam1[..., None] * a[..., 1, :]
                 + lam2[..., None] * a[..., 2, :]) * inv_denom[..., None]
 
-    uv_img = interp(uv_corners if uv_corners is not None else uvs[vt])
-    world_img = interp(world[vt])
+    if grid_shape is not None:
+        _, uv_corners = _decode_tri(id_img, grid_shape)  # arithmetic decode
+    else:
+        uv_corners = trow[..., 24:30].reshape(trow.shape[:-1] + (3, 2))
+    uv_img = interp(uv_corners)
+    world_img = interp(trow[..., 15:24].reshape(trow.shape[:-1] + (3, 3)))
 
     color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
                                world_img, camera_pos, foam=foam,
                                frag_channel=frag_channel,
-                               height_scale=height_scale)
+                               height_scale=height_scale,
+                               pbr_roughness=pbr_roughness)
     clear = jnp.asarray(sh.CLEAR_COLOR)
     return jnp.where(covered[..., None], color, clear[None, None]), z_img
+
+
+def _slot_kernel(cov_ref, irow_ref, frow_ref, key_ref, flat_ref, *,
+                 rb: int, width: int, height: int, spill: int,
+                 bw_bits: int, id_bits: int):
+    """Fused per-slot stage: decode the packed int row, walk the bbox in
+    column pairs, evaluate BOTH pair pixels' edge/denominator/z tests,
+    and emit (key, flat-pixel) per subpixel. One VMEM pass over the slot
+    tables — XLA left this as ~10 unfused slice/convert fusions re-reading
+    the (15, P) table (measured ~14 ms at a 1.26M pool; this kernel is
+    traffic-bound at ~0.5 ms). The edge expressions are literally the
+    ones the window impl evaluates (same mul/add sequence, f32) so
+    coverage equality holds bit-for-bit; verified on hardware by the
+    pool==window drive and fuzz camera sweeps."""
+    base = pl.program_id(0) * (rb * 128)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 0)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
+    slot = base + r_i * 128 + l_i
+    valid = slot < cov_ref[0, 0]
+    st = irow_ref[0, :, :].astype(jnp.int32)
+    xy = irow_ref[1, :, :]
+    bwid = irow_ref[2, :, :]
+    px0 = (xy & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    py0 = ((xy >> 16) & jnp.uint32(0x7FFF)).astype(jnp.int32)
+    bws = (bwid & jnp.uint32((1 << bw_bits) - 1)).astype(jnp.int32)
+    tri_id = (bwid >> bw_bits).astype(jnp.int32)
+    # Row-major walk of the clamped bbox in column-PAIRS. f32 divide
+    # instead of integer div/mod: quotients are < 2^24 ints with
+    # >= 1/cw margin to the next integer (way above f32 ulp), so floor
+    # is exact.
+    k = slot - st
+    kf = k.astype(jnp.float32)
+    cw = (bws + 1) // 2                                 # column pairs/row
+    cwf = cw.astype(jnp.float32)
+    q = jnp.floor(kf / cwf)
+    col2 = (kf - q * cwf).astype(jnp.int32)
+    px = px0 + 2 * col2
+    py = py0 + q.astype(jnp.int32)
+    f = frow_ref[:, :, :]                               # (15, rb, 128)
+    pny = 2.0 * (py.astype(jnp.float32) + 0.5) / height - 1.0
+    # Both pixels of the pair evaluate the FULL edge expressions (not an
+    # incremental update) so their rounding is identical to the window
+    # impl's — coverage equality is exact, not approximate.
+    for sub, live in ((0, valid), (1, valid & (2 * col2 + 1 < bws))):
+        pxs = px + sub
+        pnx = 2.0 * (pxs.astype(jnp.float32) + 0.5) / width - 1.0
+        lam0 = f[0] * pnx + f[1] * pny + f[2]
+        lam1 = f[3] * pnx + f[4] * pny + f[5]
+        lam2 = f[6] * pnx + f[7] * pny + f[8]
+        denom = lam0 + lam1 + lam2
+        hit = ((lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0) & (denom > 0)) & live
+        lam_w = lam0 * f[12] + lam1 * f[13] + lam2 * f[14]
+        z = (lam0 * f[9] + lam1 * f[10] + lam2 * f[11]
+             ) / jnp.where(lam_w == 0, 1.0, lam_w)
+        hit = hit & (z > -1.0) & (z < 1.0)
+        key_ref[sub, :, :] = _pack_key(z, tri_id, hit, id_bits)
+        flat_ref[sub, :, :] = jnp.where(hit, py * width + pxs, spill)
+
+
+def _slot_stage(irow, frow, total_covered, pool: int, width: int,
+                height: int, spill: int, bw_bits: int, id_bits: int):
+    """Run ``_slot_kernel`` over the slot tables. Pads the slot axis up
+    to a block multiple (padded slots sit past ``total_covered`` and
+    emit inert (KEY_MAX, spill) entries) and returns per-subpixel
+    ``([key0, key1], [flat0, flat1])`` rows of length ``pool``."""
+    lanes = -(-(-(-pool // 128)) // 8) * 8   # slot rows, padded to f32 tile
+    rb = 256
+    while lanes % rb:
+        rb //= 2                             # rb >= 8: lanes is a multiple of 8
+    p_pad = lanes * 128
+    if p_pad != pool:
+        irow = jnp.pad(irow, ((0, 0), (0, p_pad - pool)))
+        frow = jnp.pad(frow, ((0, 0), (0, p_pad - pool)))
+    cov = jnp.reshape(total_covered.astype(jnp.int32), (1, 1))
+    kern = functools.partial(_slot_kernel, rb=rb, width=width,
+                             height=height, spill=spill, bw_bits=bw_bits,
+                             id_bits=id_bits)
+    interpret = jax.default_backend() == "cpu"
+    keys, flats = pl.pallas_call(
+        kern,
+        grid=(lanes // rb,),
+        out_shape=(jax.ShapeDtypeStruct((2, lanes, 128), jnp.uint32),
+                   jax.ShapeDtypeStruct((2, lanes, 128), jnp.int32)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, rb, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((15, rb, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((2, rb, 128), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((2, rb, 128), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(cov, irow.reshape(3, lanes, 128), frow.reshape(15, lanes, 128))
+    keys = keys.reshape(2, p_pad)[:, :pool]
+    flats = flats.reshape(2, p_pad)[:, :pool]
+    return [keys[0], keys[1]], [flats[0], flats[1]]
 
 
 def _auto_pool(width: int, height: int) -> int:
@@ -438,18 +607,22 @@ def _auto_pool(width: int, height: int) -> int:
     pass absorbs exactly. Every per-slot op scales with the pool, so
     oversizing costs time; undersizing only shifts work to the gather
     pass (never correctness, up to its ``giants`` capacity — see
-    ``pool_overflow``)."""
-    return 1 << max(18, (3 * width * height // 2 - 1).bit_length())
+    ``pool_overflow``). Rounded up to a lane-row multiple, NOT a power
+    of two: the round-2 pow2 rounding put 2^21 slots under a 1200x700
+    viewport that needs 1.26M — a measured 40% of every per-slot op
+    spent on structurally-dead slots."""
+    want = (3 * width * height + 1) // 2
+    return max(1 << 18, -(-want // 8192) * 8192)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "pool", "giants",
-                                    "grid_shape", "frag_channel"))
+                                    "grid_shape", "frag_channel", "scales"))
 def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
                     width: int, height: int, pool: int = 1 << 20,
                     giants: int = 512, interp=None, grid_shape=None,
                     foam=None, frag_channel: int = 1,
-                    scales=(3.0, 3.5, 180.0)):
+                    scales=(3.0, 3.5, 180.0, 0.0)):
     """Exact-area pool rasterizer (see module docstring). Coverage and
     depth are identical to ``_rasterize`` (the window impl) by
     construction: both evaluate the same edge/denominator tests at the
@@ -502,8 +675,12 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     # uint32, with the id/bw split sized statically from T and width.
     id_bits = _id_bits(t_count)
     bw_bits = 32 - id_bits
-    assert width < (1 << min(16, bw_bits)) and height < (1 << 15), (
-        "viewport too wide for the packed slot table at this mesh size")
+    if not (width < (1 << min(16, bw_bits)) and height < (1 << 15)):
+        raise ValueError(
+            f"viewport {width}x{height} too wide for the packed slot "
+            f"table at this mesh size (limits: width < "
+            f"{1 << min(16, bw_bits)} at {id_bits} id bits, height < "
+            f"{1 << 15})")
     crossing_visible = crossing & ~outside
     # Clamp the packed coords into the viewport: x0/y0 are only clamped
     # BELOW above, and a fully-front triangle with tiny w (just in front
@@ -519,29 +696,33 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     pack_bw = (jnp.maximum(bw, 1).astype(jnp.uint32)
                | (jnp.arange(t_count, dtype=jnp.uint32) << bw_bits))
 
+    # Sign(det)-folded edge coefficients (shared helper): the hit test
+    # becomes lam_i >= 0 & denom > 0 (sign flips are exact in f32, and
+    # the sign cancels in z's ratio — coverage and depth are unchanged;
+    # det == 0 degenerates zero out every lam, rejected by denom > 0
+    # either way).
+    ftab = _edge_table(v_clip)                          # (T, 15)
+
     # Ascending area sort + prefix sum = slot ranges. Overflow (cum >
     # pool) hits the LARGEST areas first — exactly the triangles the
     # gather pass is built for. (Tie order among equal areas is
     # irrelevant: every triangle gets its own slot range either way.)
-    area_s, xy_s, bwid_s, order = jax.lax.sort(
-        (area, pack_xy, pack_bw, jnp.arange(t_count, dtype=jnp.int32)),
+    # The 15 edge-table columns RIDE THE SORT as payload operands: the
+    # per-slot gather then reads ftab in SORTED order via the monotonic
+    # segment index — an image/segment-coherent gather, measured ~10x
+    # cheaper than gathering through the area-scrambled original ids
+    # (16.6 -> ~1.5 ms at 1200x700; T-sized sort payloads are ~free).
+    area_s, xy_s, bwid_s, order, *fcols_s = jax.lax.sort(
+        (area, pack_xy, pack_bw, jnp.arange(t_count, dtype=jnp.int32),
+         *[ftab[:, i] for i in range(15)]),
         num_keys=1)
+    ftab_s = jnp.stack(fcols_s, axis=1)                 # (T, 15), sorted
     cum = _prefix_sum_mxu(area_s)
     start = cum - area_s
     n_zero = t_count - jnp.sum(area_s > 0)
 
     # Per-triangle rows: one int gather + one f32 gather per slot.
     itab = jnp.stack([start.astype(jnp.uint32), xy_s, bwid_s], axis=1)
-    v3 = v_clip[..., (0, 1, 3)]                         # clip (x, y, w)
-    cr = jnp.cross(v3[:, (1, 2, 0), :], v3[:, (2, 0, 1), :])   # (T, 3, 3)
-    det = jnp.sum(cr[:, 0, :] * v3[:, 0, :], axis=-1)
-    # Fold sign(det) into the edge coefficients: the hit test becomes
-    # lam_i >= 0 & denom > 0 (sign flips are exact in f32, and the sign
-    # cancels in z's ratio — coverage and depth are unchanged; det == 0
-    # degenerates zero out every lam, rejected by denom > 0 either way).
-    cr = cr * jnp.sign(det)[:, None, None]
-    ftab = jnp.concatenate([cr.reshape(t_count, 9), v_clip[..., 2],
-                            v_clip[..., 3]], axis=1)    # (T, 15)
 
     # Slot -> sorted triangle: scatter a 1 at every segment start, then
     # a running count. Zero-area triangles sort first and scatter
@@ -552,54 +733,40 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     sorted_idx = jnp.clip(n_zero + _prefix_sum_mxu(segd[:-1]) - 1, 0,
                           t_count - 1)
 
-    # One packed-row gather per slot per table (gathers of contiguous
-    # rows are cheap; measured ~2 ms/M — it's the scatters that are not).
+    # One packed-row gather per slot per table; both gathers read in
+    # SORTED-segment order (monotonic indices — the cheap, coherent
+    # gather form). A slot is live iff it is below the covered prefix
+    # (segments are contiguous from 0).
     irow = itab[sorted_idx].T                           # (3, P) uint32
-    st = irow[0].astype(jnp.int32)
-    px0 = (irow[1] & 0xFFFF).astype(jnp.int32)
-    py0 = ((irow[1] >> 16) & 0x7FFF).astype(jnp.int32)
-    bws = (irow[2] & ((1 << bw_bits) - 1)).astype(jnp.int32)
-    tri_id = (irow[2] >> bw_bits).astype(jnp.int32)
-    # A slot is live iff it is below the covered prefix (segments are
-    # contiguous from 0, so no per-slot area test is needed).
+    frow = ftab_s[sorted_idx].T                         # (15, P)
     total_covered = jnp.minimum(cum[-1] if t_count else 0, pool)
-    slot = jnp.arange(pool, dtype=jnp.int32)
-    valid = slot < total_covered
-    k = slot - st
-    # Row-major walk of the clamped bbox in column-PAIRS. f32 divide
-    # instead of integer div/mod: quotients are < 2^24 ints with
-    # >= 1/cw margin to the next integer (way above f32 ulp), so floor
-    # is exact.
-    kf = k.astype(jnp.float32)
-    cw = (bws + 1) // 2                                 # column pairs/row
-    cwf = cw.astype(jnp.float32)
-    q = jnp.floor(kf / cwf)
-    col2 = (kf - q * cwf).astype(jnp.int32)
-    px = px0 + 2 * col2
-    py = py0 + q.astype(jnp.int32)
-
-    frow = ftab[tri_id].T                               # (15, P)
-    pny = 2.0 * (py.astype(jnp.float32) + 0.5) / height - 1.0
-    keybuf = jnp.full((spill + 1,), _KEY_MAX, jnp.uint32)
-    # Both pixels of the pair evaluate the FULL edge expressions (not an
-    # incremental update) so their rounding is identical to the window
-    # impl's — coverage equality is exact, not approximate.
-    for sub, live in ((0, valid), (1, valid & (2 * col2 + 1 < bws))):
-        pxs = px + sub
-        pnx = 2.0 * (pxs.astype(jnp.float32) + 0.5) / width - 1.0
-        lam0 = frow[0] * pnx + frow[1] * pny + frow[2]
-        lam1 = frow[3] * pnx + frow[4] * pny + frow[5]
-        lam2 = frow[6] * pnx + frow[7] * pny + frow[8]
-        denom = lam0 + lam1 + lam2
-        hit = ((lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0) & (denom > 0)) & live
-        lam_w = lam0 * frow[12] + lam1 * frow[13] + lam2 * frow[14]
-        z = (lam0 * frow[9] + lam1 * frow[10] + lam2 * frow[11]
-             ) / jnp.where(lam_w == 0, 1.0, lam_w)
-        hit = hit & (z > -1.0) & (z < 1.0)
-        key = _pack_key(z, tri_id, hit, id_bits)
-        flat = jnp.where(hit, py * width + pxs, spill)
-        keybuf = keybuf.at[flat].min(key)
-    key_img = keybuf[:-1].reshape(height, width)
+    keys, flats = _slot_stage(irow, frow, total_covered, pool,
+                              width, height, spill, bw_bits, id_bits)
+    # SORT-BASED VISIBILITY RESOLVE. The z-buffer min is a min-by-key
+    # reduction; XLA TPU scatter processes updates SERIALLY (~9 ns each —
+    # the two keyed scatter-mins were the largest single cost of the
+    # round-2 frame, 39 ms of 139 at 1200x700), while lax.sort is
+    # vectorized (~0.8 ns/element). So: sort (pixel, key) ascending with
+    # one background sentinel per pixel (every pixel owns a run), take
+    # the first element of each run (= the min key for that pixel, i.e.
+    # THE winner — identical to the scatter-min by associativity), then
+    # compact winners into pixel order with a second sort whose key is
+    # the pixel id for run-firsts and the off-screen sentinel otherwise:
+    # the first H*W entries of that sort ARE the key image, row-major.
+    # Zero scatters. (flat, key) pairs are unique — a triangle covers a
+    # pixel at most once, ids disambiguate triangles, and _pack_key caps
+    # legitimate keys below the KEY_MAX sentinel — so is_stable=False is
+    # deterministic.
+    bg = jnp.arange(spill, dtype=jnp.int32)
+    allflat = jnp.concatenate([*flats, bg])
+    allkey = jnp.concatenate(
+        [*keys, jnp.full((spill,), _KEY_MAX, jnp.uint32)])
+    fs, ks = jax.lax.sort((allflat, allkey), num_keys=2, is_stable=False)
+    run_first = jnp.concatenate(
+        [jnp.ones((1,), bool), fs[1:] != fs[:-1]])
+    sk = jnp.where(run_first & (fs < spill), fs, spill)
+    _, kimg = jax.lax.sort((sk, ks), num_keys=1, is_stable=False)
+    key_img = kimg[:spill].reshape(height, width)
 
     # Gather pass: eye-plane-crossing triangles (unbounded bbox, carried
     # through the sort in the xy column's top bit) + pool overflow.
@@ -612,10 +779,11 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     key_img = _giant_pass(clip, tris, score, key_img, width, height,
                           giants, id_bits)
 
-    img, z_img = _deferred_shade(displacement, world, clip, tris, uvs,
+    dtab = _deferred_table(ftab, world, tris, uvs, grid_shape)
+    img, z_img = _deferred_shade(displacement, dtab,
                                  key_img, camera_pos, width, height, id_bits,
                                  grid_shape, foam, frag_channel,
-                                 scales[2])
+                                 scales[2], scales[3] if len(scales) > 3 else 0.0)
     return img, z_img
 
 
@@ -654,11 +822,11 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "samples", "giants",
-                                    "grid_shape", "frag_channel"))
+                                    "grid_shape", "frag_channel", "scales"))
 def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                width: int, height: int, samples: int, giants: int = 512,
                interp=None, grid_shape=None, foam=None,
-               frag_channel: int = 1, scales=(3.0, 3.5, 180.0)):
+               frag_channel: int = 1, scales=(3.0, 3.5, 180.0, 0.0)):
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
                                 interp, scales[0], scales[1])
 
@@ -711,11 +879,9 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
         pnx, pny = ndc_xy(px.astype(jnp.float32) + 0.5,
                           py.astype(jnp.float32) + 0.5)
 
-        lam0, lam1, lam2, det = _lambdas(v_clip, pnx, pny, 1)
-        det = det[:, None]
+        lam0, lam1, lam2, _ = _lambdas(v_clip, pnx, pny, 1)
         denom = lam0 + lam1 + lam2
-        hit = ((lam0 * det >= 0) & (lam1 * det >= 0) & (lam2 * det >= 0)
-               & (denom * det > 0))
+        hit = ((lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0) & (denom > 0))
         mask = hit & on_screen & fully_front[:, None]
         # z_ndc = z_clip(p) / w(p); both are linear varyings: sum(lam * .)
         lam_w = (lam0 * v_clip[:, None, 0, 3] + lam1 * v_clip[:, None, 1, 3]
@@ -771,10 +937,12 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                   area, -1.0))
     key_img = _giant_pass(clip, tris_all, score, key_img, width, height,
                           giants, id_bits)
-    img, z_img = _deferred_shade(displacement, world, clip, tris_all, uvs,
+    dtab = _deferred_table(_edge_table(all_clip), world, tris_all, uvs,
+                           grid_shape)
+    img, z_img = _deferred_shade(displacement, dtab,
                                  key_img, camera_pos, width, height, id_bits,
                                  grid_shape, foam, frag_channel,
-                                 scales[2])
+                                 scales[2], scales[3] if len(scales) > 3 else 0.0)
     return img, z_img
 
 
@@ -795,6 +963,7 @@ def render_frame(
     height_div: float = 3.0,
     horiz_div: float = 3.5,
     normal_height_scale: float = 180.0,
+    pbr_roughness: float = 0.0,
 ):
     """Render one frame from a displacement map along a camera.
 
@@ -813,6 +982,9 @@ def render_frame(
             scales (``ocean.vert:22-23`` /3.0 and /3.5,
             ``ocean.frag:19`` height_scale=180) — the same-named
             ``OceanConfig`` fields; defaults are the reference literals.
+        pbr_roughness: > 0 enables the opt-in Cook-Torrance specular lobe
+            built from the reference's unused GGX helpers
+            (``shade.shade_fragments``); 0 (default) is reference-faithful.
         impl: "pool" (fast exact-area path, default) or "window" (the
             fixed-budget golden path; honors ``samples``).
         pool: sample-slot pool size for impl="pool" (default: sized from
@@ -830,7 +1002,8 @@ def render_frame(
             jnp.asarray(camera.position.astype(np.float32)))
     foam_dev = None if foam is None else jnp.asarray(foam)
     chan = 0 if frag_normal_x else 1
-    scales = (float(height_div), float(horiz_div), float(normal_height_scale))
+    scales = (float(height_div), float(horiz_div), float(normal_height_scale),
+              float(pbr_roughness))
     if impl == "pool":
         img, depth = _rasterize_pool(*args, width, height,
                                      pool or _auto_pool(width, height),
@@ -891,7 +1064,8 @@ def make_frame_renderer(
                                  0 if config.compat.frag_normal_x else 1,
                                  (float(config.height_div),
                                   float(config.horiz_div),
-                                  float(config.normal_height_scale)))
+                                  float(config.normal_height_scale),
+                                  float(config.pbr_roughness)))
         # sRGB encode on device (matches the host-side conversion in
         # serve.py / cli.py render: gamma 1/2.2, truncating cast).
         return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(jnp.uint8)

@@ -10,7 +10,11 @@ Faithful port of the fragment math (all constants cited):
   83``);
 - final color ``max(0.7, NdotL) * albedo * (1 - F)``, fixed light direction
   (1, 0.2, 0) (``ocean.frag:72, 85``). The GGX D/G helpers are defined but
-  unused in the reference's final color (SURVEY.md §2.2) — same here.
+  unused in the reference's final color (SURVEY.md §2.2) — they are ported
+  here (``d_ggx``/``g_schlick``, unit-tested against the GLSL formulas)
+  and wired into an OPT-IN Cook-Torrance specular term
+  (``pbr_roughness > 0``); the default output stays bit-identical to the
+  reference-faithful stylized shading.
 
 Everything is jnp and batch-friendly: inputs are (..., ) pixel arrays.
 """
@@ -161,6 +165,24 @@ def fragment_normals(displacement: jnp.ndarray, u, v,
     return _normalize(jnp.cross(na, nb))
 
 
+def g1_schlick(no_x, k):
+    """``ocean.frag:31-33``: NoX / (NoX * (1 - k) + k)."""
+    return no_x / (no_x * (1.0 - k) + k)
+
+
+def g_schlick(ndotl, ndotv, roughness):
+    """``ocean.frag:35-38``: Smith-Schlick visibility, k = roughness / 2."""
+    k = roughness / 2.0
+    return g1_schlick(ndotl, k) * g1_schlick(ndotv, k)
+
+
+def d_ggx(roughness, ndoth):
+    """``ocean.frag:40-46``: GGX NDF, alpha = roughness^2 (Frostbite form)."""
+    alpha = roughness * roughness
+    f = (ndoth * alpha - ndoth) * ndoth + 1.0
+    return alpha / (f * f * np.float32(np.pi))
+
+
 FOAM_COLOR = np.array([0.92, 0.96, 0.98], dtype=np.float32)
 
 
@@ -175,7 +197,8 @@ def sample_mask_bilinear(mask: jnp.ndarray, u, v) -> jnp.ndarray:
 def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,
                     foam: jnp.ndarray | None = None,
                     frag_channel: int = 1,
-                    height_scale: float = HEIGHT_SCALE) -> jnp.ndarray:
+                    height_scale: float = HEIGHT_SCALE,
+                    pbr_roughness: float = 0.0) -> jnp.ndarray:
     """Full ``ocean.frag`` color for pixel arrays. Returns (..., 3).
 
     ``foam`` (optional, BEYOND the reference — its fragment shader has no
@@ -183,6 +206,12 @@ def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,
     Bilinear-sampled and mixed into the albedo before lighting, so the
     Fresnel/NdotL terms still apply; ``foam=None`` (the default) is
     bit-identical to the reference-faithful path.
+
+    ``pbr_roughness > 0`` (opt-in, beyond the reference) adds a
+    Cook-Torrance specular lobe ``D_GGX * G_Schlick * F / (4 NoL NoV) *
+    NoL`` built from the reference's own defined-but-unused BRDF helpers
+    (``ocean.frag:31-46``); 0 (default) leaves the stylized color
+    bit-unchanged.
     """
     n = fragment_normals(displacement, u, v, channel=frag_channel,
                          height_scale=height_scale)
@@ -204,4 +233,11 @@ def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,
 
     f = F0[None] + (1.0 - F0[None]) * (1.0 - hdotv[..., None]) ** 5.0
     color = jnp.maximum(0.7, ndotl)[..., None] * albedo * (1.0 - f)
+    if pbr_roughness > 0.0:
+        r = jnp.float32(pbr_roughness)
+        ndoth = jnp.clip(jnp.sum(n * h_vec, axis=-1), 0.0, 1.0)
+        ndotv = jnp.clip(jnp.sum(n * view, axis=-1), 0.0001, 1.0)
+        spec = (d_ggx(r, ndoth) * g_schlick(ndotl, ndotv, r)
+                / (4.0 * ndotv))[..., None] * f  # * NoL / NoL cancels
+        color = color + spec
     return color

@@ -49,6 +49,12 @@ from gfx_ocean_tpu.config import OceanConfig
 from gfx_ocean_tpu.models.ocean import OceanState, make_step
 from gfx_ocean_tpu.utils.profiling import Ema
 
+# Largest viewport served by the fused one-dispatch pipeline (1280x720).
+# Anything bigger falls back to the f32 render_frame path: a hostile
+# w=h=2048 request would otherwise force a multi-second compile AND pin a
+# 2^23-slot pool buffer per cache entry.
+_FUSED_MAX_AREA = 1280 * 720
+
 
 class FrameService:
     """Engine wrapper: jitted step + serialization + metrics."""
@@ -74,9 +80,17 @@ class FrameService:
         # (w, h, giants) -> fused step+render+sRGB jit. Bounded: the key
         # is client-controlled, and each miss compiles a TPU executable
         # (seconds through a tunnel) and pins device buffers — evict the
-        # oldest beyond a handful of live viewports.
-        self._renderers = {}
+        # least-recently-USED beyond a handful of live viewports, cap the
+        # fused viewport area (_FUSED_MAX_AREA; bigger falls back to the
+        # f32 render_frame path), and compile OUTSIDE the dispatch lock
+        # under a per-key build lock so a new viewport's multi-second
+        # compile never stalls other clients' frames.
+        import collections
+
+        self._renderers = collections.OrderedDict()
         self._renderers_max = 6
+        self._builds = {}            # key -> per-key build lock
+        self._cache_lock = threading.Lock()  # guards the two dicts above
         self.session = CameraSession()  # defined below; resolved at call time
         self.frames_served = 0
         self.errors = 0
@@ -98,6 +112,56 @@ class FrameService:
             self.frames_served += 1
         return arrays
 
+    def _renderer(self, key):
+        """Fused-renderer cache: LRU on hit; on miss, build + warm up the
+        executable under a PER-KEY lock (other keys' frames keep flowing
+        through ``self._lock`` while this one compiles — JAX dispatch is
+        thread-safe and the device queue is in-order, so the warmup call
+        simply queues behind them)."""
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        from gfx_ocean_tpu.render.camera import Camera, perspective  # noqa: PLC0415
+        from gfx_ocean_tpu.render.raster import make_frame_renderer  # noqa: PLC0415
+
+        while True:
+            with self._cache_lock:
+                fn = self._renderers.get(key)
+                if fn is not None:
+                    self._renderers.move_to_end(key)
+                    return fn
+                build = self._builds.get(key)
+                if build is None:
+                    build = self._builds[key] = threading.Lock()
+                    build.acquire()      # we are the builder
+                    building = True
+                else:
+                    building = False
+            if not building:
+                with build:              # wait for the builder, then re-check
+                    continue
+            try:
+                width, height, giants = key
+                fn = make_frame_renderer(self.config, width=width,
+                                         height=height, giants=giants)
+                cam = Camera()
+                vp = (perspective(width / height) @ cam.view()).astype(
+                    np.float32)
+                fn(self.state, jnp.float32(0.0), jnp.asarray(vp),
+                   jnp.asarray(cam.position.astype(np.float32)))  # compile
+                with self._cache_lock:
+                    while len(self._renderers) >= self._renderers_max:
+                        self._renderers.popitem(last=False)
+                    self._renderers[key] = fn
+                return fn
+            finally:
+                with self._cache_lock:
+                    self._builds.pop(key, None)
+                build.release()
+
+    def record_error(self) -> None:
+        with self._meter_lock:
+            self.errors += 1
+
     def frame_npz(self, t: float) -> bytes:
         buf = io.BytesIO()
         np.savez(buf, **self.fields(t))
@@ -118,26 +182,19 @@ class FrameService:
         from gfx_ocean_tpu.render.camera import Camera, perspective  # noqa: PLC0415
 
         camera = camera if camera is not None else Camera()
-        if self.mesh is None:
+        if self.mesh is None and width * height <= _FUSED_MAX_AREA:
             # Fast path: ONE fused dispatch (step -> rasterize -> sRGB on
             # device) — the analog of the reference's single per-frame
             # command-buffer submission (src/render.rs:1122-1372).
             import jax.numpy as jnp  # noqa: PLC0415
 
-            from gfx_ocean_tpu.render.raster import make_frame_renderer  # noqa: PLC0415
-
             key = (width, height, giants)
             t0 = time.perf_counter()
+            fn = self._renderer(key)
             with self._lock:
-                if key not in self._renderers:
-                    if len(self._renderers) >= self._renderers_max:
-                        self._renderers.pop(next(iter(self._renderers)))
-                    self._renderers[key] = make_frame_renderer(
-                        self.config, width=width, height=height,
-                        giants=giants)
                 view_proj = (perspective(width / height)
                              @ camera.view()).astype(np.float32)
-                srgb_dev = self._renderers[key](
+                srgb_dev = fn(
                     self.state, jnp.float32(t), jnp.asarray(view_proj),
                     jnp.asarray(camera.position.astype(np.float32)))
             # Transfer OUTSIDE the lock: jax dispatch is async and the
@@ -160,7 +217,8 @@ class FrameService:
                 frag_normal_x=self.config.compat.frag_normal_x,
                 height_div=self.config.height_div,
                 horiz_div=self.config.horiz_div,
-                normal_height_scale=self.config.normal_height_scale))
+                normal_height_scale=self.config.normal_height_scale,
+                pbr_roughness=self.config.pbr_roughness))
             srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
         buf = io.BytesIO()
         if fmt.upper() in ("JPEG", "JPG"):
@@ -399,10 +457,10 @@ def _make_handler(service: FrameService):
                 else:
                     self._json(404, {"error": f"no route {url.path}"})
             except (ValueError, KeyError) as e:
-                service.errors += 1
+                service.record_error()
                 self._json(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
-                service.errors += 1
+                service.record_error()
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler

@@ -60,12 +60,24 @@ def test_pallas_dot3_accuracy(state128):
     assert err < 5e-5, f"dot3 error {err:.2e}"
 
 
-def test_pallas_rejects_large_grid(state128):
-    cfg = ot.OceanConfig(resolution=2048, fft_impl="pallas")
-    h0 = jnp.zeros((2, 2048, 2048), jnp.float32)
-    om = jnp.zeros((2048, 2048), jnp.float32)
-    with pytest.raises(ValueError, match="N <= 1024"):
-        pallas_fields(h0, om, jnp.float32(0.0), cfg, interpret=True)
+def test_pallas_fourstep_2048_matches_matmul():
+    """N = 2048 routes through the four-step two-kernel pipeline (fused
+    packed-Hermitian propagate + in-VMEM four-step stages); must agree
+    with the jnp matmul path (which itself is golden-verified)."""
+    rng = np.random.default_rng(11)
+    n = 2048
+    h0 = jnp.asarray(rng.standard_normal((2, n, n)).astype(np.float32) * 0.01)
+    om = jnp.asarray((np.abs(rng.standard_normal((n, n))) + 0.1).astype(np.float32))
+    st = ot.OceanState(h0=h0, omega=om)
+    t = jnp.float32(5.5)
+    cfg_p = ot.OceanConfig(resolution=n, fft_impl="pallas",
+                           matmul_precision="highest", compute_normals=False)
+    cfg_m = ot.OceanConfig(resolution=n, fft_impl="matmul",
+                           matmul_precision="highest", compute_normals=False)
+    a = np.asarray(pallas_fields(h0, om, t, cfg_p, interpret=True))
+    b = np.asarray(ot.make_step(cfg_m)(st, t).displacement)
+    rel = np.abs(a - b).max() / np.abs(b).max()
+    assert rel < 1e-5, rel
 
 
 def test_pallas_blocked_multiband_matches_golden():

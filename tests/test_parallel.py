@@ -187,3 +187,57 @@ def test_sharded_rollout_time_batched(rng, mesh8):
         shard_state(state, mesh8), ts))
     b = np.asarray(make_sharded_rollout(cfg, mesh8)(shard_state(state, mesh8), ts))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)
+
+
+def test_distributed_fft_planes_matches_single_chip(rng, mesh8):
+    """The complex-output (packed-field) sharded transform == the
+    single-chip ifft2_planes_unnorm, centering fold included."""
+    from gfx_ocean_tpu.ops.fft import ifft2_planes_unnorm
+    from gfx_ocean_tpu.parallel.distributed_fft import (
+        ifft2_planes_unnorm_sharded)
+
+    n = 64
+    x = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    xr = jnp.asarray(np.real(x), dtype=jnp.float32)
+    xi = jnp.asarray(np.imag(x), dtype=jnp.float32)
+    gr, gi = jax.jit(
+        lambda a, b: ifft2_planes_unnorm_sharded(a, b, mesh8,
+                                                 precision="highest",
+                                                 centered="ref"))(xr, xi)
+    wr, wi = ifft2_planes_unnorm(xr, xi, precision="highest", centered="ref")
+    scale = np.abs(np.asarray(wr)).max()
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(wr),
+                               atol=1e-3 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                               atol=1e-3 * scale, rtol=0)
+
+
+def test_sharded_step_packed_both_strategies(rng, mesh8):
+    """The 4096^2-class configuration (hermitian_pack) runs under BOTH
+    sharding strategies, and gspmd == shard_map == single-chip."""
+    cfg = OceanConfig(resolution=64, compute_normals=True,
+                      hermitian_pack=True)
+    state = _rand_state(rng, 64, batch=2)
+    t = jnp.float32(2.5)
+    want = make_step(cfg)(state, t)
+    for fft in ("gspmd", "shard_map"):
+        got = make_sharded_step(cfg, mesh8, fft=fft)(
+            shard_state(state, mesh8), t)
+        np.testing.assert_allclose(np.asarray(got.displacement),
+                                   np.asarray(want.displacement),
+                                   atol=1e-4, rtol=0)
+
+
+def test_sharded_rollout_packed_shard_map(rng, mesh8):
+    """Packed rollout (scan + time_batch) on the explicit-collective
+    transform agrees with GSPMD."""
+    cfg = OceanConfig(resolution=64, compute_normals=False,
+                      hermitian_pack=True)
+    state = _rand_state(rng, 64, batch=2)
+    ts = jnp.arange(4, dtype=jnp.float32) * 0.25
+    a = np.asarray(make_sharded_rollout(cfg, mesh8, fft="shard_map",
+                                        time_batch=2)(
+        shard_state(state, mesh8), ts))
+    b = np.asarray(make_sharded_rollout(cfg, mesh8, time_batch=2)(
+        shard_state(state, mesh8), ts))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)

@@ -266,10 +266,9 @@ def test_homogeneous_visibility_fuzz():
                                    jnp.asarray(pts[:, 0])[None],
                                    jnp.asarray(pts[:, 1])[None], 1)
         l0, l1, l2 = np.asarray(l0)[0], np.asarray(l1)[0], np.asarray(l2)[0]
-        det = float(np.asarray(det)[0])
         denom = l0 + l1 + l2
-        mine = ((l0 * det >= 0) & (l1 * det >= 0) & (l2 * det >= 0)
-                & (denom * det > 0))
+        # _lambdas returns sign(det)-folded lams: hit = all lam >= 0.
+        mine = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (denom > 0)
         lam_w = l0 * clip[0, 3] + l1 * clip[1, 3] + l2 * clip[2, 3]
         z = np.divide(l0 * clip[0, 2] + l1 * clip[1, 2] + l2 * clip[2, 2],
                       np.where(lam_w == 0, 1.0, lam_w))
@@ -613,3 +612,47 @@ def test_render_frame_honors_config_visual_scales(disp64):
                               normal_height_scale=30.0)
     np.testing.assert_array_equal(np.asarray(zb), np.asarray(zs))  # geometry same
     assert not np.allclose(np.asarray(base), np.asarray(shaded))   # shading differs
+
+
+def test_ggx_helpers_match_glsl_formulas():
+    """d_ggx / g_schlick / g1_schlick implement ocean.frag:31-46 exactly."""
+    import math
+
+    from gfx_ocean_tpu.render import shade as sh
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        r = float(rng.uniform(0.05, 1.0))
+        nol = float(rng.uniform(0.01, 1.0))
+        nov = float(rng.uniform(0.01, 1.0))
+        noh = float(rng.uniform(0.0, 1.0))
+        # GLSL reference evaluation (float64 here; jnp computes f32)
+        alpha = r * r
+        f = (noh * alpha - noh) * noh + 1.0
+        want_d = alpha / (f * f * math.pi)
+        k = r / 2.0
+        want_g = (nol / (nol * (1 - k) + k)) * (nov / (nov * (1 - k) + k))
+        np.testing.assert_allclose(float(sh.d_ggx(jnp.float32(r), jnp.float32(noh))),
+                                   want_d, rtol=1e-5)
+        np.testing.assert_allclose(
+            float(sh.g_schlick(jnp.float32(nol), jnp.float32(nov), jnp.float32(r))),
+            want_g, rtol=1e-5)
+
+
+def test_pbr_mode_optin_default_unchanged(disp64):
+    """pbr_roughness=0 (default) is bit-identical to the reference-faithful
+    shading; > 0 adds a finite specular lobe without touching coverage."""
+    base, zb = render_frame(disp64, Camera(), width=96, height=64,
+                            mesh_resolution=32, return_depth=True)
+    zero, z0 = render_frame(disp64, Camera(), width=96, height=64,
+                            mesh_resolution=32, return_depth=True,
+                            pbr_roughness=0.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(zero))
+    pbr, zp = render_frame(disp64, Camera(), width=96, height=64,
+                           mesh_resolution=32, return_depth=True,
+                           pbr_roughness=0.3)
+    np.testing.assert_array_equal(np.asarray(zb), np.asarray(zp))  # geometry
+    assert np.isfinite(np.asarray(pbr)).all()
+    assert not np.allclose(np.asarray(base), np.asarray(pbr))
+    # specular only ADDS energy (color = stylized + spec * F, all >= 0)
+    assert (np.asarray(pbr) - np.asarray(base)).min() >= -1e-6

@@ -185,6 +185,46 @@ def test_session_concurrent_requests(server):
     assert np.isfinite(st["position"]).all() and st["sim_time"] > 0
 
 
+def test_mixed_concurrent_requests(server):
+    """Stateless frames, session frames, and metrics hit simultaneously
+    across several viewports (exercising the per-key renderer build path
+    concurrently): no 500s, the renderer cache stays bounded, and the
+    error counter is untouched."""
+    import concurrent.futures as cf
+
+    base, srv = server
+    errors_before = json.loads(_get(base + "/metrics")[1])["errors"]
+    jobs = (["/frame.png?t=1.0&w=64&h=48&samples=8"] * 3
+            + ["/session/frame.jpg?w=48&h=32&dt=0.01"] * 3
+            + ["/frame.jpg?t=0.5&w=80&h=44"] * 3
+            + ["/frame.jpg?t=0.5&w=72&h=40"] * 2
+            + ["/metrics"] * 3)
+
+    def hit(path):
+        code, body, _ = _get(base + path)
+        return code == 200 and len(body) > 0
+
+    with cf.ThreadPoolExecutor(6) as ex:
+        results = list(ex.map(hit, jobs))
+    assert all(results)
+    m = json.loads(_get(base + "/metrics")[1])
+    assert m["errors"] == errors_before
+    assert len(srv.service._renderers) <= srv.service._renderers_max
+    assert not srv.service._builds          # no leaked build locks
+
+
+def test_oversize_viewport_falls_back(server, monkeypatch):
+    """Viewports above the fused-path area cap render via the f32
+    render_frame path — no fused executable is compiled or cached."""
+    from gfx_ocean_tpu import serve as serve_mod
+
+    base, srv = server
+    monkeypatch.setattr(serve_mod, "_FUSED_MAX_AREA", 64 * 48)
+    code, body, _ = _get(base + "/frame.jpg?t=0.2&w=65&h=48&samples=8")
+    assert code == 200 and body[:2] == b"\xff\xd8"
+    assert (65, 48, 512) not in srv.service._renderers
+
+
 def test_serve_with_mesh_renders():
     """The sharded-service branch (mesh != None) of frame_png: fields
     gather to host and render through the f32 API path."""

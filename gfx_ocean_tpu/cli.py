@@ -198,16 +198,36 @@ def cmd_simulate(args) -> int:
 
     ts = t0 + np.arange(args.steps, dtype=np.float32) * args.dt
     if args.save_fields:
+        os.makedirs(args.save_fields, exist_ok=True)
         if mesh_arg is not None:
+            # Sharded path: per-frame steps (fields gather to host anyway).
             step = make_sharded_step(config, mesh, batched=batched,
                                      fft=args.sharded_fft)
+            for i, t in enumerate(ts):
+                out = step(state, jnp.float32(t))
+                save_fields(os.path.join(args.save_fields, f"frame_{i:05d}.npz"),
+                            out.displacement, out.normals, out.foam, t=float(t))
         else:
-            step = make_step(config)
-        os.makedirs(args.save_fields, exist_ok=True)
-        for i, t in enumerate(ts):
-            out = step(state, jnp.float32(t))
-            save_fields(os.path.join(args.save_fields, f"frame_{i:05d}.npz"),
-                        out.displacement, out.normals, out.foam, t=float(t))
+            # Batched: a keep_fields rollout chunked to an HBM budget —
+            # one dispatch + one transfer per chunk instead of a tunnel
+            # round trip per frame (frames are independent, SURVEY §2.5).
+            per_frame = config.resolution ** 2 * 4 * (
+                3 + (3 if config.compute_normals else 0)
+                + (1 if config.compute_foam else 0)) * max(1, config.num_cascades)
+            chunk = max(1, min(len(ts), (256 << 20) // per_frame))
+            rollout = make_rollout(config, keep_fields=True)
+            for start in range(0, len(ts), chunk):
+                ck = ts[start:start + chunk]
+                out = rollout(state, jnp.asarray(ck))
+                disp = np.asarray(out.displacement)
+                norm = None if out.normals is None else np.asarray(out.normals)
+                foam = None if out.foam is None else np.asarray(out.foam)
+                for j, t in enumerate(ck):
+                    save_fields(
+                        os.path.join(args.save_fields,
+                                     f"frame_{start + j:05d}.npz"),
+                        disp[j], None if norm is None else norm[j],
+                        None if foam is None else foam[j], t=float(t))
         print(f"saved {len(ts)} frames to {args.save_fields}")
     else:
         if mesh_arg is not None:
@@ -276,8 +296,8 @@ def cmd_serve(args) -> int:
     from gfx_ocean_tpu.serve import serve
 
     config, _, state = _build(args)
-    if state.h0.ndim != 3:
-        raise SystemExit("serve uses a single cascade")
+    if state.h0.ndim != 3 and _parse_mesh_arg(args) is not None:
+        raise SystemExit("serve with a device mesh uses a single cascade")
     mesh = None
     if _parse_mesh_arg(args) is not None:
         if _parse_mesh_arg(args)[0] != 1:
@@ -299,37 +319,50 @@ def cmd_serve(args) -> int:
 def cmd_render(args) -> int:
     import jax.numpy as jnp
 
-    from gfx_ocean_tpu import make_step
-    from gfx_ocean_tpu.render import render_frame
-    from gfx_ocean_tpu.render.camera import Camera, scripted_camera
+    from gfx_ocean_tpu.render.camera import Camera, perspective, scripted_camera
+    from gfx_ocean_tpu.render.raster import make_batch_renderer
 
     config, _, state = _build(args)
-    if state.h0.ndim != 3:
-        raise SystemExit("render uses a single cascade")
-    step = make_step(config)
     os.makedirs(args.out, exist_ok=True)
+    # Precompute the whole camera path host-side (deterministic replay of
+    # the key script), then run the FUSED step->rasterize->sRGB pipeline
+    # in frame chunks: one dispatch + one uint8 transfer per chunk instead
+    # of a ~60 ms tunnel round trip per frame.
     script = [(args.frames, args.keys.split(",") if args.keys else [])]
+    proj = perspective(args.width / args.height)
+    vps, cps = [], []
     for i, cam in scripted_camera(script, dt=args.dt, camera=Camera()):
-        t = args.t0 + i * args.dt
-        fields = step(state, jnp.float32(t))
-        img = np.asarray(render_frame(
-            fields.displacement, cam, width=args.width, height=args.height,
-            mesh_resolution=config.mesh_resolution,
-            num_patches=config.num_patches, samples=args.samples,
-            foam=fields.foam,   # --foam mixes whitecaps into the albedo
-            frag_normal_x=config.compat.frag_normal_x,
-            height_div=config.height_div, horiz_div=config.horiz_div,
-            normal_height_scale=config.normal_height_scale))
-        path = os.path.join(args.out, f"frame_{i:05d}")
-        np.save(path + ".npy", img)
-        try:
-            from PIL import Image  # noqa: PLC0415
-
-            srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
-            Image.fromarray(srgb).save(path + ".png")
-        except ImportError:
-            pass
-    print(f"rendered {args.frames} frames to {args.out}")
+        vps.append((proj @ cam.view()).astype(np.float32))
+        cps.append(cam.position.astype(np.float32))
+    vps = np.stack(vps)
+    cps = np.stack(cps)
+    ts = (args.t0 + np.arange(args.frames) * args.dt).astype(np.float32)
+    renderer = make_batch_renderer(config, width=args.width,
+                                   height=args.height)
+    chunk = max(1, min(args.frames, 16))
+    pil_image = None
+    try:
+        from PIL import Image as pil_image  # noqa: PLC0415, N813
+    except ImportError:
+        pass
+    for start in range(0, args.frames, chunk):
+        end = min(start + chunk, args.frames)
+        pad = chunk - (end - start)
+        sl = slice(start, end)
+        # Pad the ragged tail by repeating the last frame (one compiled
+        # chunk shape), sliced off after the transfer.
+        tsc = np.concatenate([ts[sl], np.repeat(ts[end - 1], pad)])
+        vpc = np.concatenate([vps[sl], np.repeat(vps[end - 1:end], pad, 0)])
+        cpc = np.concatenate([cps[sl], np.repeat(cps[end - 1:end], pad, 0)])
+        srgb = np.asarray(renderer(state, jnp.asarray(tsc), jnp.asarray(vpc),
+                                   jnp.asarray(cpc)))[:end - start]
+        for j in range(end - start):
+            path = os.path.join(args.out, f"frame_{start + j:05d}")
+            np.save(path + ".npy", srgb[j])
+            if pil_image is not None:
+                pil_image.fromarray(srgb[j]).save(path + ".png")
+    print(f"rendered {args.frames} frames to {args.out} "
+          f"(sRGB uint8, chunked x{chunk})")
     return 0
 
 

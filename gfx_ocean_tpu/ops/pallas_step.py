@@ -515,8 +515,10 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
     # noise — the pipeline is HBM-bound.
     n2 = 128
     n1 = n // n2
-    block = 16
-    cblock = 128
+    # Row bands sized so a band's 10 input planes stay ~5 MB; wider bands
+    # amortize per-iteration overhead (measured: 32 beats 16 at 2048).
+    block = 32
+    cblock = 256 if n <= 2048 else 128
     if n % block or n % cblock or n1 < 16 or n1 > 256:
         raise ValueError(
             f"four-step pallas pipeline supports N in [2048, 32768], got {n}")

@@ -72,27 +72,46 @@ from gfx_ocean_tpu.render.mesh import build_grid, instantiate
 
 
 def _vertex_stage(displacement, positions, uvs, view_proj, interp=None,
-                  height_div: float = 3.0, horiz_div: float = 3.5):
+                  height_div: float = 3.0, horiz_div: float = 3.5,
+                  tiles=None):
     """``shader/ocean.vert``: displace, offset, project, negate clip y.
 
     ``interp``: optional ``(Wy, Wx)`` bilinear-interpolation matrices from
-    ``_interp_matrices``. The mesh UVs are STATIC (and identical across
-    the 4 patch instances), so sampling the displacement texture at them
-    is a fixed linear map: two small matmuls on the MXU replace four
-    texture-sized gathers. The einsum order is pinned (x-axis lerp first,
-    then y) to match the gather form's association; the remaining
-    difference is the MXU 'highest' product rounding (measured clip-coord
-    delta <= 1.6e-5 on +-200-magnitude coords, i.e. f32-ulp level — both
-    rasterizer impls share this path, so their coverage stays identical).
+    ``_interp_matrices`` (a tuple of per-cascade pairs when
+    ``displacement`` is a (C, N, N, 3) cascade stack). The mesh UVs are
+    STATIC (and identical across the 4 patch instances), so sampling the
+    displacement texture at them is a fixed linear map: two small matmuls
+    on the MXU replace four texture-sized gathers. The einsum order is
+    pinned (x-axis lerp first, then y) to match the gather form's
+    association; the remaining difference is the MXU 'highest' product
+    rounding (measured clip-coord delta <= 1.6e-5 on +-200-magnitude
+    coords, i.e. f32-ulp level — both rasterizer impls share this path,
+    so their coverage stays identical).
+
+    Cascade compositing (beyond the reference — it has no cascades): the
+    displaced surface is the SUM of the per-cascade displacement fields,
+    cascade c sampled at uv * tiles[c] with repeat wrap (its physical
+    domain repeats domain_size / L_c times across the patch).
     """
+    cascades = displacement.ndim == 4
     if interp is not None:
-        w_y, w_x = interp
-        h = w_y.shape[0]
-        tmp = jnp.einsum("nmc,xm->nxc", displacement, w_x,
-                         precision="highest")
-        grid = jnp.einsum("yn,nxc->yxc", w_y, tmp, precision="highest")
+        pairs = interp if cascades else (interp,)
+        stacks = displacement if cascades else displacement[None]
+        grid = None
+        for c, (w_y, w_x) in enumerate(pairs):
+            h = w_y.shape[0]
+            tmp = jnp.einsum("nmc,xm->nxc", stacks[c], w_x,
+                             precision="highest")
+            g = jnp.einsum("yn,nxc->yxc", w_y, tmp, precision="highest")
+            grid = g if grid is None else grid + g
         disp = jnp.tile(grid.reshape(h * h, 3),
                         (positions.shape[0] // (h * h), 1))
+    elif cascades:
+        tiles = tiles or tuple(1.0 for _ in range(displacement.shape[0]))
+        disp = sum(
+            sh.sample_displacement(displacement[c], uvs[:, 0] * tiles[c],
+                                   uvs[:, 1] * tiles[c])
+            for c in range(displacement.shape[0]))
     else:
         disp = sh.sample_displacement(displacement, uvs[:, 0], uvs[:, 1])
     # the ocean.vert:22-23 visual scales, as OceanConfig fields
@@ -114,17 +133,23 @@ _TRI_CHUNK = 4096   # scatter triangles per scan iteration — bounds memory
 _GIANT_GROUP = 32   # gather triangles per scan iteration
 
 
-@functools.lru_cache(maxsize=16)
-def _interp_matrices(mesh_resolution: int, n_tex: int):
+@functools.lru_cache(maxsize=32)
+def _interp_matrices(mesh_resolution: int, n_tex: int, tile: float = 1.0):
     """(Wy, Wx) bilinear sampling matrices for the static mesh UV grid.
 
     Row k holds the two wrap-mod-N texel weights of GL-style bilinear
-    sampling at u = k / (h - 1) (texel centers at (i + 0.5) / N,
-    matching ``shade._sample_bilinear_wrap``). Built in float64 on host,
-    shipped once per (mesh, texture) shape.
+    sampling at u = tile * k / (h - 1) (texel centers at (i + 0.5) / N,
+    matching ``shade._sample_bilinear_wrap``; repeat wrap makes u > 1
+    tile the texture). ``tile`` > 1 is the cascade compositing factor:
+    cascade c with physical domain L_c repeats domain_size / L_c times
+    across the patch. Built in float64 on host, shipped once per
+    (mesh, texture, tile).
     """
     h = mesh_resolution
-    u = np.arange(h, dtype=np.float64) / (h - 1)
+    # divide-then-multiply: tile == 1.0 is then bit-identical to the
+    # untiled matrices (multiplying by a pre-divided factor rounds
+    # differently in f64).
+    u = np.arange(h, dtype=np.float64) / (h - 1) * float(tile)
     x = u * n_tex - 0.5
     x0 = np.floor(x)
     fx = (x - x0).astype(np.float32)
@@ -453,7 +478,7 @@ def _deferred_shade(displacement, dtab, key_img,
                     camera_pos, width: int, height: int, id_bits: int,
                     grid_shape=None, foam=None, frag_channel: int = 1,
                     height_scale: float = 180.0,
-                    pbr_roughness: float = 0.0):
+                    pbr_roughness: float = 0.0, tiles=None):
     """Per-pixel varying reconstruction + fragment shading from the
     winning visibility-key image. Perspective-correct uv/world via the
     same lambda weights; the EXACT f32 depth is recomputed here from the
@@ -493,7 +518,7 @@ def _deferred_shade(displacement, dtab, key_img,
                                world_img, camera_pos, foam=foam,
                                frag_channel=frag_channel,
                                height_scale=height_scale,
-                               pbr_roughness=pbr_roughness)
+                               pbr_roughness=pbr_roughness, tiles=tiles)
     clear = jnp.asarray(sh.CLEAR_COLOR)
     return jnp.where(covered[..., None], color, clear[None, None]), z_img
 
@@ -617,18 +642,19 @@ def _auto_pool(width: int, height: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "pool", "giants",
-                                    "grid_shape", "frag_channel", "scales"))
+                                    "grid_shape", "frag_channel", "scales",
+                                    "tiles"))
 def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
                     width: int, height: int, pool: int = 1 << 20,
                     giants: int = 512, interp=None, grid_shape=None,
                     foam=None, frag_channel: int = 1,
-                    scales=(3.0, 3.5, 180.0, 0.0)):
+                    scales=(3.0, 3.5, 180.0, 0.0), tiles=None):
     """Exact-area pool rasterizer (see module docstring). Coverage and
     depth are identical to ``_rasterize`` (the window impl) by
     construction: both evaluate the same edge/denominator tests at the
     same pixel centers; only the slot->pixel assignment differs."""
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
-                                interp, scales[0], scales[1])
+                                interp, scales[0], scales[1], tiles)
     t_count = tris.shape[0]
     spill = width * height
 
@@ -783,7 +809,8 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     img, z_img = _deferred_shade(displacement, dtab,
                                  key_img, camera_pos, width, height, id_bits,
                                  grid_shape, foam, frag_channel,
-                                 scales[2], scales[3] if len(scales) > 3 else 0.0)
+                                 scales[2], scales[3] if len(scales) > 3 else 0.0,
+                                 tiles)
     return img, z_img
 
 
@@ -822,13 +849,15 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "samples", "giants",
-                                    "grid_shape", "frag_channel", "scales"))
+                                    "grid_shape", "frag_channel", "scales",
+                                    "tiles"))
 def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
                width: int, height: int, samples: int, giants: int = 512,
                interp=None, grid_shape=None, foam=None,
-               frag_channel: int = 1, scales=(3.0, 3.5, 180.0, 0.0)):
+               frag_channel: int = 1, scales=(3.0, 3.5, 180.0, 0.0),
+               tiles=None):
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
-                                interp, scales[0], scales[1])
+                                interp, scales[0], scales[1], tiles)
 
     # Pad triangles to a chunk multiple; padding points at vertex 0 thrice
     # (degenerate -> rejected by the det/denom sign tests).
@@ -942,8 +971,28 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
     img, z_img = _deferred_shade(displacement, dtab,
                                  key_img, camera_pos, width, height, id_bits,
                                  grid_shape, foam, frag_channel,
-                                 scales[2], scales[3] if len(scales) > 3 else 0.0)
+                                 scales[2], scales[3] if len(scales) > 3 else 0.0,
+                                 tiles)
     return img, z_img
+
+
+def _cascade_setup(displacement, cascade_domains, mesh_resolution: int):
+    """(tiles, interp) for a plain field or a (C, N, N, 3) cascade stack.
+
+    tiles[c] = domain[0] / domain[c] — how many times cascade c's physical
+    domain repeats across the patch; interp is the matching per-cascade
+    sampling-matrix tuple (``_interp_matrices``)."""
+    n_tex = displacement.shape[-2]
+    if displacement.ndim == 3:
+        return None, _interp_matrices(mesh_resolution, n_tex)
+    c_count = displacement.shape[0]
+    if cascade_domains is None or len(cascade_domains) != c_count:
+        raise ValueError(
+            f"a (C, N, N, 3) cascade stack needs cascade_domains of "
+            f"length {c_count}, got {cascade_domains!r}")
+    tiles = tuple(float(cascade_domains[0] / d) for d in cascade_domains)
+    interp = tuple(_interp_matrices(mesh_resolution, n_tex, t) for t in tiles)
+    return tiles, interp
 
 
 def render_frame(
@@ -964,13 +1013,20 @@ def render_frame(
     horiz_div: float = 3.5,
     normal_height_scale: float = 180.0,
     pbr_roughness: float = 0.0,
+    cascade_domains=None,
 ):
     """Render one frame from a displacement map along a camera.
 
     Args:
         displacement: (N, N, 3) field from ``step()`` (raw, unscaled — the
             /3.0 and /3.5 visual scales of ``ocean.vert:22-23`` are applied
-            here, in the vertex stage).
+            here, in the vertex stage) — or a (C, N, N, 3) CASCADE STACK,
+            composited as the sum of per-cascade fields, cascade c tiled
+            ``cascade_domains[0] / cascade_domains[c]`` times across the
+            patch (``OceanConfig.domains``; beyond the reference).
+        cascade_domains: per-cascade physical domain sizes; required shape
+            C when ``displacement`` is a cascade stack. ``foam`` then takes
+            the (C, N, N) per-cascade masks (coverage union).
         camera: a ``render.camera.Camera`` (numpy, host-side).
         foam: optional (N, N) whitecap coverage mask mixed into the albedo
             (``shade.shade_fragments``) — an extension beyond the
@@ -995,10 +1051,12 @@ def render_frame(
         (H, W, 3) float32 image (plus the depth buffer if requested).
     """
     positions, uvs, tris = _mesh_constants(mesh_resolution, num_patches)
-    interp = _interp_matrices(mesh_resolution, displacement.shape[-2])
+    displacement = jnp.asarray(displacement)
+    tiles, interp = _cascade_setup(displacement, cascade_domains,
+                                   mesh_resolution)
     proj = perspective(width / height)
     view_proj = jnp.asarray((proj @ camera.view()).astype(np.float32))
-    args = (jnp.asarray(displacement), positions, uvs, tris, view_proj,
+    args = (displacement, positions, uvs, tris, view_proj,
             jnp.asarray(camera.position.astype(np.float32)))
     foam_dev = None if foam is None else jnp.asarray(foam)
     chan = 0 if frag_normal_x else 1
@@ -1009,11 +1067,11 @@ def render_frame(
                                      pool or _auto_pool(width, height),
                                      giants, interp,
                                      (num_patches, mesh_resolution), foam_dev,
-                                     chan, scales)
+                                     chan, scales, tiles)
     elif impl == "window":
         img, depth = _rasterize(*args, width, height, samples, giants,
                                 interp, (num_patches, mesh_resolution),
-                                foam_dev, chan, scales)
+                                foam_dev, chan, scales, tiles)
     else:
         raise ValueError(f"impl must be 'pool' or 'window', got {impl!r}")
     if return_depth:
@@ -1042,19 +1100,29 @@ def make_frame_renderer(
     where ``view_proj`` is the f32 (4, 4) projection @ view matrix
     (host-computed, as ``render_frame`` does).
     """
-    import functools as _ft
+    return jax.jit(_fused_frame_fn(config, width, height, giants, pool))
 
+
+def _fused_frame_fn(config, width: int, height: int, giants: int,
+                    pool: int | None):
+    """The unjitted fused step -> rasterize -> sRGB body shared by the
+    interactive renderer (``make_frame_renderer``) and the batched CLI
+    renderer (``make_batch_renderer``)."""
     from gfx_ocean_tpu.models.ocean import step as _ocean_step  # noqa: PLC0415
 
     positions, uvs, tris = _mesh_constants(config.mesh_resolution,
                                            config.num_patches)
-    interp = _interp_matrices(config.mesh_resolution, config.resolution)
+    if config.num_cascades > 1:
+        tiles = tuple(float(config.domains[0] / d) for d in config.domains)
+        interp = tuple(_interp_matrices(config.mesh_resolution,
+                                        config.resolution, t) for t in tiles)
+    else:
+        tiles = None
+        interp = _interp_matrices(config.mesh_resolution, config.resolution)
 
-    @_ft.partial(jax.jit, donate_argnums=())
     def fn(state, t, view_proj, camera_pos):
         fields = _ocean_step(state, t, config)
-        foam = fields.foam if (config.compute_foam
-                               and config.num_cascades == 1) else None
+        foam = fields.foam if config.compute_foam else None
         img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
                                  view_proj, camera_pos, width, height,
                                  pool or _auto_pool(width, height), giants,
@@ -1065,12 +1133,30 @@ def make_frame_renderer(
                                  (float(config.height_div),
                                   float(config.horiz_div),
                                   float(config.normal_height_scale),
-                                  float(config.pbr_roughness)))
+                                  float(config.pbr_roughness)),
+                                 tiles)
         # sRGB encode on device (matches the host-side conversion in
         # serve.py / cli.py render: gamma 1/2.2, truncating cast).
         return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(jnp.uint8)
 
     return fn
+
+
+def make_batch_renderer(
+    config,
+    width: int,
+    height: int,
+    giants: int = 512,
+    pool: int | None = None,
+):
+    """Batched fused pipeline: ``fn(state, ts, view_projs, camera_pos) ->
+    (F, H, W, 3) uint8`` — vmap of the one-dispatch frame over a frame
+    axis. This is what ``cli.py render`` chunks over: one dispatch + ONE
+    uint8 transfer per chunk instead of a ~60 ms tunnel round trip per
+    frame (the sim is stateless in time, so frames are independent and
+    batch freely — SURVEY.md §2.5 task parallelism)."""
+    one = _fused_frame_fn(config, width, height, giants, pool)
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
 
 
 def render_frames(

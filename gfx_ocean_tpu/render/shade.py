@@ -127,7 +127,8 @@ def _packed_table_bilerp(planes, u, v):
 
 def fragment_normals(displacement: jnp.ndarray, u, v,
                      channel: int = 1,
-                     height_scale: float = HEIGHT_SCALE) -> jnp.ndarray:
+                     height_scale: float = HEIGHT_SCALE,
+                     tiles=None) -> jnp.ndarray:
     """textureOffset +-1 taps on one displacement channel (``ocean.frag:54-67``).
 
     ``channel``: which packed texel channel the taps difference. The
@@ -152,12 +153,32 @@ def fragment_normals(displacement: jnp.ndarray, u, v,
     visibility, and shading is clamped (``max(0.7, NdotL)``) over most
     of the field anyway.
     """
-    h = displacement[..., channel]
     inv_scale = 1.0 / height_scale
-    dxh = (jnp.roll(h, -1, axis=1) - jnp.roll(h, 1, axis=1)) * inv_scale
-    dzh = (jnp.roll(h, -1, axis=0) - jnp.roll(h, 1, axis=0)) * inv_scale
-    n_y, n_x = h.shape
-    gx, gz = _packed_table_bilerp([dxh, dzh], u, v)
+
+    def slope_maps(hc):
+        dxh = (jnp.roll(hc, -1, axis=1) - jnp.roll(hc, 1, axis=1)) * inv_scale
+        dzh = (jnp.roll(hc, -1, axis=0) - jnp.roll(hc, 1, axis=0)) * inv_scale
+        return dxh, dzh
+
+    if displacement.ndim == 4:
+        # Cascade stack: the composite height is sum_c h_c(uv * tile_c),
+        # so its texel-space slope is sum_c tile_c * slope_c (the chain
+        # rule's tile factor — finer cascades are steeper per patch unit).
+        c_count = displacement.shape[0]
+        tiles = tiles or (1.0,) * c_count
+        gx = gz = 0.0
+        for c in range(c_count):
+            dxh, dzh = slope_maps(displacement[c][..., channel])
+            gxc, gzc = _packed_table_bilerp([dxh, dzh], u * tiles[c],
+                                            v * tiles[c])
+            gx = gx + gxc * tiles[c]
+            gz = gz + gzc * tiles[c]
+        n_y, n_x = displacement.shape[1:3]
+    else:
+        h = displacement[..., channel]
+        dxh, dzh = slope_maps(h)
+        n_y, n_x = h.shape
+        gx, gz = _packed_table_bilerp([dxh, dzh], u, v)
     diff_x = 2.0 / n_x
     diff_y = 2.0 / n_y
     na = _normalize(jnp.stack([jnp.full_like(gx, -diff_x), gx, jnp.zeros_like(gx)], -1))
@@ -198,7 +219,8 @@ def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,
                     foam: jnp.ndarray | None = None,
                     frag_channel: int = 1,
                     height_scale: float = HEIGHT_SCALE,
-                    pbr_roughness: float = 0.0) -> jnp.ndarray:
+                    pbr_roughness: float = 0.0,
+                    tiles=None) -> jnp.ndarray:
     """Full ``ocean.frag`` color for pixel arrays. Returns (..., 3).
 
     ``foam`` (optional, BEYOND the reference — its fragment shader has no
@@ -214,14 +236,21 @@ def shade_fragments(displacement: jnp.ndarray, u, v, world_pos, camera_pos,
     bit-unchanged.
     """
     n = fragment_normals(displacement, u, v, channel=frag_channel,
-                         height_scale=height_scale)
+                         height_scale=height_scale, tiles=tiles)
 
     depth = 1.0 - jnp.clip((world_pos[..., 1] + 10.0) / 50.0, 0.0, 1.5) ** 1.2
     albedo = SHALLOW[None] * (1.0 - depth[..., None]) + DEEP[None] * depth[..., None]
     # NB: mix(shallow, deep, depth) == shallow*(1-depth) + deep*depth; with
     # the clamp to 1.5 the mix can extrapolate, exactly as in GLSL.
     if foam is not None:
-        f = jnp.clip(sample_mask_bilinear(foam, u, v), 0.0, 1.0)[..., None]
+        if foam.ndim == 3:      # per-cascade masks: union of coverage
+            c_tiles = tiles or (1.0,) * foam.shape[0]
+            f = sum(sample_mask_bilinear(foam[c], u * c_tiles[c],
+                                         v * c_tiles[c])
+                    for c in range(foam.shape[0]))
+        else:
+            f = sample_mask_bilinear(foam, u, v)
+        f = jnp.clip(f, 0.0, 1.0)[..., None]
         albedo = albedo * (1.0 - f) + jnp.asarray(FOAM_COLOR)[None] * f
 
     light = jnp.asarray(LIGHT_DIR)

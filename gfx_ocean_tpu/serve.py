@@ -218,7 +218,9 @@ class FrameService:
                 height_div=self.config.height_div,
                 horiz_div=self.config.horiz_div,
                 normal_height_scale=self.config.normal_height_scale,
-                pbr_roughness=self.config.pbr_roughness))
+                pbr_roughness=self.config.pbr_roughness,
+                cascade_domains=(self.config.domains
+                                 if self.config.num_cascades > 1 else None)))
             srgb = (np.clip(img, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
         buf = io.BytesIO()
         if fmt.upper() in ("JPEG", "JPG"):

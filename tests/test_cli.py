@@ -160,3 +160,27 @@ def test_compile_cache_returns_active_dir(monkeypatch, tmp_path):
     # conftest already activated the default cache for the suite; the
     # call must report whichever dir is live, never None, and never crash.
     assert isinstance(got, str) and got
+
+
+def test_cli_render_cascades(tmp_path, capsys):
+    """render --cascades 3 --foam composites per-cascade fields (VERDICT
+    round-2 item 6: cascades are a first-class render config now)."""
+    out = str(tmp_path / "cframes")
+    assert main(["render", *BASE, "--cascades", "3", "--foam",
+                 "--frames", "1", "--width", "48", "--height", "32",
+                 "--out", out]) == 0
+    img = np.load(os.path.join(out, "frame_00000.npy"))
+    assert img.shape == (32, 48, 3) and img.dtype == np.uint8
+
+
+def test_cli_save_fields_batched(tmp_path, capsys):
+    """--save-fields goes through the chunked keep_fields rollout."""
+    out = str(tmp_path / "fields")
+    assert main(["simulate", *BASE, "--steps", "3", "--dt", "0.05",
+                 "--save-fields", out]) == 0
+    files = sorted(os.listdir(out))
+    assert files == [f"frame_{i:05d}.npz" for i in range(3)]
+    with np.load(os.path.join(out, files[2])) as z:
+        assert z["displacement"].shape == (64, 64, 3)
+        assert abs(float(z["t"]) - 0.10) < 1e-6
+        assert np.isfinite(z["displacement"]).all()

@@ -656,3 +656,84 @@ def test_pbr_mode_optin_default_unchanged(disp64):
     assert not np.allclose(np.asarray(base), np.asarray(pbr))
     # specular only ADDS energy (color = stylized + spec * F, all >= 0)
     assert (np.asarray(pbr) - np.asarray(base)).min() >= -1e-6
+
+
+def test_cascade_stack_with_zero_tail_matches_single(disp64):
+    """[disp, 0, 0] cascade stack composites to exactly the single-field
+    render (zero cascades contribute zero displacement/slope/foam)."""
+    stack = jnp.stack([disp64, jnp.zeros_like(disp64), jnp.zeros_like(disp64)])
+    domains = (1000.0, 250.0, 62.5)
+    single, zs = render_frame(disp64, Camera(), width=96, height=64,
+                              mesh_resolution=32, return_depth=True)
+    casc, zc = render_frame(stack, Camera(), width=96, height=64,
+                            mesh_resolution=32, cascade_domains=domains,
+                            return_depth=True)
+    # identical coverage; colors equal up to XLA fusion-order rounding
+    # (the zero cascades change the compiled graph, not the math)
+    np.testing.assert_array_equal(np.isfinite(np.asarray(zs)),
+                                  np.isfinite(np.asarray(zc)))
+    np.testing.assert_allclose(np.asarray(casc), np.asarray(single),
+                               atol=1e-5)
+
+
+def test_cascade_vertex_compositing_matches_numpy_golden():
+    """The cascade vertex stage == the float64 numpy composite
+    sum_c bilinear(disp_c, uv * tile_c) at the mesh UV grid."""
+    from gfx_ocean_tpu.render.mesh import build_grid, instantiate
+    from gfx_ocean_tpu.render.raster import (_interp_matrices, _vertex_stage)
+
+    rng = np.random.default_rng(5)
+    n, h = 32, 16
+    stack = rng.standard_normal((3, n, n, 3)).astype(np.float32)
+    domains = (1000.0, 250.0, 62.5)
+    tiles = tuple(domains[0] / d for d in domains)
+    positions, uvs, tris = instantiate(build_grid(h, 1))
+    interp = tuple(_interp_matrices(h, n, t) for t in tiles)
+    vp = np.eye(4, dtype=np.float32)
+    world, _ = _vertex_stage(jnp.asarray(stack), jnp.asarray(positions),
+                             jnp.asarray(uvs), jnp.asarray(vp), interp,
+                             height_div=1.0, horiz_div=1.0)
+    got = np.asarray(world) - positions
+
+    def bilerp64(tex, u, v):
+        x = u * n - 0.5
+        y = v * n - 0.5
+        x0, y0 = np.floor(x), np.floor(y)
+        fx, fy = (x - x0)[:, None], (y - y0)[:, None]
+        x0i, y0i = np.mod(x0.astype(int), n), np.mod(y0.astype(int), n)
+        x1i, y1i = (x0i + 1) % n, (y0i + 1) % n
+        t = tex.astype(np.float64)
+        return ((t[y0i, x0i] * (1 - fx) + t[y0i, x1i] * fx) * (1 - fy)
+                + (t[y1i, x0i] * (1 - fx) + t[y1i, x1i] * fx) * fy)
+
+    grid_u = np.arange(h, dtype=np.float64) / (h - 1)
+    uu, vv = np.meshgrid(grid_u, grid_u)   # [y, x] ordering
+    want = sum(bilerp64(stack[c], (uu.ravel() * tiles[c]),
+                        (vv.ravel() * tiles[c])) for c in range(3))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_cascade_render_finite_and_covered():
+    """End-to-end 3-cascade composited render with per-cascade foam."""
+    import jax
+
+    cfg = ot.OceanConfig(resolution=64, num_cascades=3, compute_foam=True,
+                         compute_normals=False)
+    state = ot.ocean_state_from_phillips(cfg)
+    fields = ot.make_step(cfg)(state, jnp.float32(4.0))
+    assert fields.displacement.shape == (3, 64, 64, 3)
+    assert fields.foam.shape == (3, 64, 64)
+    img = np.asarray(render_frame(fields.displacement, Camera(),
+                                  width=96, height=64, mesh_resolution=128,
+                                  foam=fields.foam,
+                                  cascade_domains=cfg.domains))
+    assert img.shape == (64, 96, 3) and np.isfinite(img).all()
+    covered = np.abs(img - sh.CLEAR_COLOR).max(-1) > 1e-6
+    assert covered.mean() > 0.2
+
+
+def test_cascade_stack_requires_domains(disp64):
+    stack = jnp.stack([disp64, disp64])
+    with pytest.raises(ValueError, match="cascade_domains"):
+        render_frame(stack, Camera(), width=32, height=32,
+                     mesh_resolution=16)

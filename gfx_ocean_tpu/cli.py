@@ -433,7 +433,9 @@ def main(argv=None) -> int:
     p.add_argument("--t0", type=float, default=0.0)
     p.add_argument("--width", type=int, default=600)
     p.add_argument("--height", type=int, default=350)
-    p.add_argument("--samples", type=int, default=32)
+    p.add_argument("--samples", type=int, default=32,
+                   help="(compat) window-impl sample budget; the fused "
+                        "pool path used by this command ignores it")
     p.add_argument("--keys", type=str, default="",
                    help="comma-separated held keys (w,s,left,right,up,down)")
     p.add_argument("--out", type=str, default="frames")

@@ -515,10 +515,11 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
     # noise — the pipeline is HBM-bound.
     n2 = 128
     n1 = n // n2
-    # Row bands sized so a band's 10 input planes stay ~5 MB; wider bands
-    # amortize per-iteration overhead (measured: 32 beats 16 at 2048).
-    block = 32
-    cblock = 256 if n <= 2048 else 128
+    # Band sizes A/B'd on v5e at 2048 (steps/s): block 16/cblock 128 =
+    # 557, 32/128 = 550, 16/256 = 518, 32/256 = 512, 64/256 = 509 —
+    # smaller blocks double-buffer better on this HBM-bound pipeline.
+    block = 16
+    cblock = 128
     if n % block or n % cblock or n1 < 16 or n1 > 256:
         raise ValueError(
             f"four-step pallas pipeline supports N in [2048, 32768], got {n}")
@@ -611,16 +612,15 @@ def pallas_fields(
     if h0_pair.ndim != 3:
         raise ValueError("pallas_fields takes a single unbatched state; vmap for cascades")
     n = h0_pair.shape[-1]
-    t_arr_4 = jnp.reshape(t.astype(jnp.float32), (1, 1))
+    t_arr = jnp.reshape(t.astype(jnp.float32), (1, 1))
     if n > 1024:
-        planes = _fourstep_fields(h0_pair, omega, t_arr_4, config, n,
+        planes = _fourstep_fields(h0_pair, omega, t_arr, config, n,
                                   interpret)
         return jnp.moveaxis(planes, 0, -1)
 
     # A = D_alt @ W: the y-half of the centering sign folded into rows.
     awr, awi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(n, 1, 0, False))
     h0n = h0_pair[:, ::-1, ::-1]
-    t_arr = jnp.reshape(t.astype(jnp.float32), (1, 1))
 
     # Single block whenever it fits: 'highest' VMEM-OOMs at 512 (extra
     # MXU passes widen live ranges) but fits comfortably at <= 256 — and

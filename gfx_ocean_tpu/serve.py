@@ -343,7 +343,10 @@ v.addEventListener('touchstart', e => {
 }, {passive: true});
 addEventListener('touchend', () => send('touch=ended'), {passive: true});
 let ema = null;
-const grab = () => fetch('/session/frame.jpg?w=480&h=280')
+// 960x540 since round 3: the fused frame is ~23 ms on-device; the
+// two-frames-in-flight loop keeps the tunnel transfer off the critical
+// path. Drop to ?w=480&h=280 on a slow link.
+const grab = () => fetch('/session/frame.jpg?w=960&h=540')
   .then(r => r.blob());
 // Two frames in flight, displayed in order: the server dispatches frame
 // n+1 to the TPU while frame n's pixels are still downloading.
@@ -477,8 +480,8 @@ def serve(state: OceanState, config: OceanConfig, host: str = "127.0.0.1",
     row-sharded across the mesh (fields gather to host for serialization)."""
     service = FrameService(state, config, mesh=mesh, sharded_fft=sharded_fft)
     service.fields(0.0)  # warmup: compile + first transfer
-    try:  # and the default-viewport fused viewer pipeline (best effort)
-        service.frame_png(0.0, 480, 280, 16, fmt="JPEG")
+    try:  # and the viewer's default fused pipeline (best effort)
+        service.frame_png(0.0, 960, 540, 16, fmt="JPEG")
     except Exception:  # pragma: no cover - PIL absent etc.
         pass
     server = ThreadingHTTPServer((host, port), _make_handler(service))

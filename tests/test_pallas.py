@@ -158,3 +158,25 @@ def test_pallas_large_t_phase_matches_jnp_path(state128):
     b = np.asarray(ot.make_step(cfg_m)(st, t).displacement)
     rel = np.abs(a - b).max() / np.abs(b).max()
     assert rel < 2e-6, rel
+
+
+def test_pallas_fourstep_compat_flags_match_matmul():
+    """Every quirk flag reaches the four-step kernel (wrap_k in the
+    in-kernel k-hat iotas, ref_sign in the column tables, conj_neg in the
+    precompute planes): the all-flags-flipped config must still agree
+    with the jnp matmul path at N = 2048."""
+    rng = np.random.default_rng(13)
+    n = 2048
+    h0 = jnp.asarray(rng.standard_normal((2, n, n)).astype(np.float32) * 0.01)
+    om = jnp.asarray((np.abs(rng.standard_normal((n, n))) + 0.1).astype(np.float32))
+    st = ot.OceanState(h0=h0, omega=om)
+    t = jnp.float32(3.25)
+    flags = CompatFlags(wrap_k=True, ref_sign=False, conj_neg=True)
+    cfg_p = ot.OceanConfig(resolution=n, fft_impl="pallas", compat=flags,
+                           matmul_precision="highest", compute_normals=False)
+    cfg_m = ot.OceanConfig(resolution=n, fft_impl="matmul", compat=flags,
+                           matmul_precision="highest", compute_normals=False)
+    a = np.asarray(pallas_fields(h0, om, t, cfg_p, interpret=True))
+    b = np.asarray(ot.make_step(cfg_m)(st, t).displacement)
+    rel = np.abs(a - b).max() / np.abs(b).max()
+    assert rel < 1e-5, rel

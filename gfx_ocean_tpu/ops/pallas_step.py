@@ -503,7 +503,7 @@ def _fourstep_col_kernel(
 
 def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
                      interpret: bool) -> jnp.ndarray:
-    """Two-kernel four-step pipeline for N >= 2048: fused packed propagate
+    """Two-kernel four-step pipeline for N >= 1024: fused packed propagate
     + row pass (grid over row bands), column pass (grid over column bands),
     then the one deferred x-unblocking transpose. The (2, 2, N, N) row-pass
     planes are the only intermediate HBM traffic."""
@@ -520,9 +520,9 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
     # smaller blocks double-buffer better on this HBM-bound pipeline.
     block = 16
     cblock = 128
-    if n % block or n % cblock or n1 < 16 or n1 > 256:
+    if n % block or n % cblock or n1 < 8 or n1 > 256:
         raise ValueError(
-            f"four-step pallas pipeline supports N in [2048, 32768], got {n}")
+            f"four-step pallas pipeline supports N in [1024, 32768], got {n}")
     negate = config.compat.ref_sign
     w1r_row, w1i_row = (jnp.asarray(a) for a in
                         _dft_matrix_out_alt_np(n1, 1, 0, False))
@@ -602,18 +602,19 @@ def pallas_fields(
 
     Equivalent to propagate + centered ifft2_real_unnorm + channel packing
     (tested against both the jnp path and the CPU golden). N <= 512 at
-    non-"highest" precision runs as ONE VMEM-resident kernel; N = 1024
-    (any tier) and 512@"highest" use the row/column-blocked two-kernel
-    pipeline (``_blocked_fields``); N >= 2048 uses the four-step
-    two-kernel pipeline (``_fourstep_fields`` — fused packed-Hermitian
-    propagate + in-VMEM four-step stages, the Pallas answer to the XLA
-    einsum plateau at the reference's scaling frontier, SURVEY §7.3).
+    non-"highest" precision runs as ONE VMEM-resident kernel; 512@"highest"
+    uses the row/column-blocked two-kernel pipeline (``_blocked_fields``);
+    N >= 1024 uses the four-step two-kernel pipeline (``_fourstep_fields``
+    — fused packed-Hermitian propagate + in-VMEM four-step stages, the
+    Pallas answer to the XLA einsum plateau at the reference's scaling
+    frontier, SURVEY §7.3; at 1024 it beats both the blocked kernel and
+    the jnp packed path: 1,577 vs 1,192 / 1,326 steps/s on v5e).
     """
     if h0_pair.ndim != 3:
         raise ValueError("pallas_fields takes a single unbatched state; vmap for cascades")
     n = h0_pair.shape[-1]
     t_arr = jnp.reshape(t.astype(jnp.float32), (1, 1))
-    if n > 1024:
+    if n > 512:
         planes = _fourstep_fields(h0_pair, omega, t_arr, config, n,
                                   interpret)
         return jnp.moveaxis(planes, 0, -1)

@@ -1108,8 +1108,14 @@ def _fused_frame_fn(config, width: int, height: int, giants: int,
     """The unjitted fused step -> rasterize -> sRGB body shared by the
     interactive renderer (``make_frame_renderer``) and the batched CLI
     renderer (``make_batch_renderer``)."""
+    import dataclasses  # noqa: PLC0415
+
     from gfx_ocean_tpu.models.ocean import step as _ocean_step  # noqa: PLC0415
 
+    # The rasterizer derives fragment normals from the displacement
+    # texture itself (shade.fragment_normals); the sim step's vertex
+    # normals are dead weight in this pipeline.
+    config = dataclasses.replace(config, compute_normals=False)
     positions, uvs, tris = _mesh_constants(config.mesh_resolution,
                                            config.num_patches)
     if config.num_cascades > 1:

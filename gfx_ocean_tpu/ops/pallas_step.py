@@ -329,7 +329,7 @@ def _blocked_fields(h0_pair, omega, t_arr, h0n, awr, awi, config: OceanConfig,
 
 
 # ---------------------------------------------------------------------------
-# Four-step pipeline for N >= 2048 (the reference's scaling frontier).
+# Four-step pipeline for N >= 1024 (the reference's scaling frontier).
 #
 # The XLA einsum four-step (ops/fft.py) plateaus at ~7 ms/axis-pass at 4096^2
 # because every stage (small DFT, twiddle, small DFT, swap) is its own HBM
@@ -340,28 +340,38 @@ def _blocked_fields(h0_pair, omega, t_arr, h0n, awr, awi, config: OceanConfig,
 # — 3 fields from 2 transforms), so the evolved spectra never touch HBM,
 # mirroring the single-block kernel's design at the four-step scale.
 #
-# Index bookkeeping (matches ops/fft._foursteps_last exactly):
+# Index bookkeeping (same algebra as ops/fft._foursteps_last):
 #   k = N2*k1 + k2, n = n1 + N1*n2
 #   y[n] = sum_k2 W_N[n1 k2] * (sum_k1 W_N1[n1 k1] X[k1,k2]) * W_N2[n2 k2]
-# The row pass STORES each transformed row in (n1, n2) blocked order
-# (position n1*N2 + n2 instead of n1 + N1*n2): Mosaic's cheap relayouts are
-# sublane-only, and the true order would need a lane<->sublane transpose per
-# band. The column pass is order-agnostic along x (it transforms columns),
-# so the single deferred fix is one XLA transpose of the final (3, N, N)
-# output (~0.5 ms) — the analog of the reference's Stockham auto-sort
-# absorbing the butterfly permutation (shader/fft_row.comp:36).
+# The row pass pins N1 = 128 (the lane width) and reads its inputs
+# x-PERMUTED (kernel column c = k2*N1 + k1 holds true k = k1*N2 + k2 — a
+# free reshape/swap of the TIME-INVARIANT propagate tables, hoisted out of
+# the scan). Then stage 1 is a pure-view (B*N2, k1) @ W1^T dot with the n1
+# output factor landing in lanes, every relayout between stages is
+# sublane-only, and the final (B, n2, n1) flatten is n2*N1 + n1 = the TRUE
+# x index. This kills the deferred (3, N, N) unblocking transpose the
+# previous blocked-order scheme needed (~0.4 ms of a 1.6 ms frame at
+# 2048^2) — the analog of the reference's Stockham auto-sort absorbing the
+# butterfly permutation (shader/fft_row.comp:36). The column pass already
+# lands true-y order naturally (its transform axis is the sublane axis, so
+# the (n2-major, n1-minor) composition of the output index is free).
 # ---------------------------------------------------------------------------
 
 
 def _khat_pair_in_kernel(n: int, domain_size: float, wrap: bool,
-                         rows: int, row_off):
+                         rows: int, row_off, perm_n1: int = 0):
     """(khx, khy, khx o rho, khy o rho) from iotas for a row band.
 
     rho is the DFT-index negation (i -> (-i) mod N, ops/propagate.roll_flip);
     the rho-gathered grids are what conj(S o rho) of the packed propagate
     consumes. Computed pointwise from transformed iotas — no gathers, and
     no (N, N) host constants shipped per jit (the HTTP-413 trap,
-    ops/propagate.propagate_packed_planes)."""
+    ops/propagate.propagate_packed_planes).
+
+    ``perm_n1``: when nonzero, columns are in the four-step permuted order
+    (column c holds true kx = (c % n1) * n2 + c // n1); the iota is decoded
+    with a mask/shift (n1 is a power of two) so the grids match the
+    permuted propagate tables."""
 
     def grids(ix, iy):
         cx = 2.0 * ix - jnp.float32(n + 1)
@@ -378,7 +388,12 @@ def _khat_pair_in_kernel(n: int, domain_size: float, wrap: bool,
         inv = jnp.where(safe, 1.0 / jnp.where(safe, k_len, 1.0), 0.0)
         return kx * inv, ky * inv
 
-    ix = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1).astype(jnp.float32)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    if perm_n1:
+        shift = perm_n1.bit_length() - 1
+        ic = (jnp.bitwise_and(ic, perm_n1 - 1) * (n // perm_n1)
+              + jnp.right_shift(ic, shift))
+    ix = ic.astype(jnp.float32)
     iy = (jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0).astype(jnp.float32)
           + row_off.astype(jnp.float32))
     khx, khy = grids(ix, iy)
@@ -391,19 +406,24 @@ def _khat_pair_in_kernel(n: int, domain_size: float, wrap: bool,
 
 def _fourstep_row_kernel(
     t_ref,          # SMEM (1, 1) f32
-    pre_ref,        # VMEM (4, B, N) f32 — P1..P4 row band
-    preq_ref,       # VMEM (4, B, N) f32 — rho-gathered P1..P4
-    om_ref,         # VMEM (B, N) f32
-    omq_ref,        # VMEM (B, N) f32 — rho-gathered omega
+    pre_ref,        # VMEM (4, B, N) f32 — P1..P4 row band, x-PERMUTED
+    preq_ref,       # VMEM (4, B, N) f32 — rho-gathered P1..P4, x-PERMUTED
+    om_ref,         # VMEM (B, N) f32 — x-PERMUTED
+    omq_ref,        # VMEM (B, N) f32 — rho-gathered omega, x-PERMUTED
     w1r_ref, w1i_ref,   # (N1, N1) — x-half centering fold in rows
     w2r_ref, w2i_ref,   # (N2, N2)
-    ttr_ref, tti_ref,   # (N1, N2) twiddle
-    y_ref,          # VMEM (2, 2, B, N) f32 out — (set, plane), x BLOCKED order
+    ttr_ref, tti_ref,   # (N2, N1) twiddle T[k2, n1]
+    y_ref,          # VMEM (2, 2, B, N) f32 out — (set, plane), x TRUE order
     *,
     n: int, n1: int, n2: int, block: int,
     domain_size: float, wrap_k: bool, precision: str,
 ):
-    """Packed Hermitian propagate + four-step row pass for one row band."""
+    """Packed Hermitian propagate + four-step row pass for one row band.
+
+    Inputs arrive x-permuted (column c = k2*N1 + k1 holds true k =
+    k1*N2 + k2, applied once to the time-invariant tables in
+    ``_fourstep_fields``), so stage 1 is a pure-view dot and the output
+    flatten (B, n2, n1) -> (B, N) is already the true x order."""
     dot = _make_dot(precision)
     t = t_ref[0, 0]
     ph = _phase_mod_2pi(om_ref[:, :], t)
@@ -419,7 +439,7 @@ def _fourstep_row_kernel(
     h_i = half * (si - ti)
     row_off = pl.program_id(0) * block
     khx, khy, khxq, khyq = _khat_pair_in_kernel(
-        n, domain_size, wrap_k, block, jnp.int32(row_off))
+        n, domain_size, wrap_k, block, jnp.int32(row_off), perm_n1=n1)
     dx_r = half * (khx * si + khxq * ti)
     dx_i = half * (khxq * tr - khx * sr)
     dz_r = half * (khy * si + khyq * ti)
@@ -429,29 +449,32 @@ def _fourstep_row_kernel(
 
     w1r, w1i = w1r_ref[:, :], w1i_ref[:, :]
     w2r, w2i = w2r_ref[:, :], w2i_ref[:, :]
-    ttr, tti = ttr_ref[:, :][:, None, :], tti_ref[:, :][:, None, :]
+    ttr, tti = ttr_ref[:, :], tti_ref[:, :]
 
     def axis_pass(xr, xi, idx):
-        # (B, N) -> (k1, B*k2) — sublane-only relayout (lanes untouched)
-        xr = xr.reshape(block, n1, n2).transpose(1, 0, 2).reshape(n1, -1)
-        xi = xi.reshape(block, n1, n2).transpose(1, 0, 2).reshape(n1, -1)
-        # stage 1: A = W1 @ X over k1 (centering fold rides W1's rows)
-        ar = dot(w1r, xr, _DIMS_NN) - dot(w1i, xi, _DIMS_NN)
-        ai = dot(w1r, xi, _DIMS_NN) + dot(w1i, xr, _DIMS_NN)
-        # twiddle T[n1, k2], broadcast over the band
-        ar = ar.reshape(n1, block, n2)
-        ai = ai.reshape(n1, block, n2)
+        # permuted (B, N) -> (B*k2, k1): pure view, no relayout
+        xr = xr.reshape(block * n2, n1)
+        xi = xi.reshape(block * n2, n1)
+        # stage 1: A = X @ W1^T over k1 — n1 lands in lanes (centering
+        # fold rides W1's rows = the NT output index)
+        ar = dot(xr, w1r, _DIMS_NT) - dot(xi, w1i, _DIMS_NT)
+        ai = dot(xr, w1i, _DIMS_NT) + dot(xi, w1r, _DIMS_NT)
+        # twiddle T[k2, n1], broadcast over the band
+        ar = ar.reshape(block, n2, n1)
+        ai = ai.reshape(block, n2, n1)
         br = ar * ttr - ai * tti
         bi = ar * tti + ai * ttr
-        # stage 2: Y = B @ W2^T over k2 (lane contraction)
-        br = br.reshape(n1 * block, n2)
-        bi = bi.reshape(n1 * block, n2)
-        yr = dot(br, w2r, _DIMS_NT) - dot(bi, w2i, _DIMS_NT)
-        yi = dot(br, w2i, _DIMS_NT) + dot(bi, w2r, _DIMS_NT)
-        # (n1, B, n2) -> (B, n1, n2): sublane-only; stored x-BLOCKED
-        y_ref[idx, 0] = yr.reshape(n1, block, n2).transpose(1, 0, 2).reshape(
+        # stage 2: Y = W2 @ B over k2 ((B, k2, n1) -> (k2, B*n1) is
+        # sublane-only; lanes untouched)
+        br = br.transpose(1, 0, 2).reshape(n2, block * n1)
+        bi = bi.transpose(1, 0, 2).reshape(n2, block * n1)
+        yr = dot(w2r, br, _DIMS_NN) - dot(w2i, bi, _DIMS_NN)
+        yi = dot(w2r, bi, _DIMS_NN) + dot(w2i, br, _DIMS_NN)
+        # (n2, B, n1) -> (B, n2, n1): sublane-only; flat = n2*N1 + n1 =
+        # the TRUE x index — no deferred unblocking needed
+        y_ref[idx, 0] = yr.reshape(n2, block, n1).transpose(1, 0, 2).reshape(
             block, n)
-        y_ref[idx, 1] = yi.reshape(n1, block, n2).transpose(1, 0, 2).reshape(
+        y_ref[idx, 1] = yi.reshape(n2, block, n1).transpose(1, 0, 2).reshape(
             block, n)
 
     axis_pass(h_r, h_i, 0)
@@ -459,7 +482,7 @@ def _fourstep_row_kernel(
 
 
 def _fourstep_col_kernel(
-    y_ref,          # VMEM (2, 2, N, C) f32 — row-pass planes, C perm-x cols
+    y_ref,          # VMEM (2, 2, N, C) f32 — row-pass planes, C true-x cols
     w1r_ref, w1i_ref,   # (N1, N1) — y-half fold + Q2 flip in rows
     w2r_ref, w2i_ref,   # (N2, N2)
     ttr_ref, tti_ref,   # (N1, N2)
@@ -501,26 +524,36 @@ def _fourstep_col_kernel(
         n, cb)
 
 
+def _fourstep_bands(n: int):
+    """(row band, column band) sizes for the four-step pipeline.
+
+    A/B'd on v5e for the true-order scheme (steps/s): 2048: 16/128 = 599
+    vs 549 (8/128), 577 (32/128), 558 (16/256); 4096: 16/128 = 151.1 vs
+    149.9 (8/128), 150.5 (32/128), 149.4 (16/256); 1024: 16/128 and
+    32/128 within tunnel noise (1,930-2,100). Small row bands
+    double-buffer better on this HBM-bound pipeline; 16/128 wins or ties
+    everywhere."""
+    return 16, 128
+
+
 def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
                      interpret: bool) -> jnp.ndarray:
     """Two-kernel four-step pipeline for N >= 1024: fused packed propagate
-    + row pass (grid over row bands), column pass (grid over column bands),
-    then the one deferred x-unblocking transpose. The (2, 2, N, N) row-pass
-    planes are the only intermediate HBM traffic."""
+    + row pass (grid over row bands), column pass (grid over column bands).
+    Both passes emit true index order (header comment), so the (2, 2, N, N)
+    row-pass planes are the only intermediate HBM traffic and nothing is
+    deferred."""
     from gfx_ocean_tpu.ops.propagate import precompute_propagate_packed  # noqa: PLC0415
 
-    # n2 pinned to the 128-lane width (NOT the FLOP-balanced _split):
-    # every reshape/elementwise/dot in both kernels then runs on full
-    # lane tiles. The extra arithmetic (cost ~ n1 + n2 per element) is
-    # noise — the pipeline is HBM-bound.
-    n2 = 128
-    n1 = n // n2
-    # Band sizes A/B'd on v5e at 2048 (steps/s): block 16/cblock 128 =
-    # 557, 32/128 = 550, 16/256 = 518, 32/256 = 512, 64/256 = 509 —
-    # smaller blocks double-buffer better on this HBM-bound pipeline.
-    block = 16
-    cblock = 128
-    if n % block or n % cblock or n1 < 8 or n1 > 256:
+    # n1 pinned to the 128-lane width (NOT the FLOP-balanced _split): the
+    # row pass then lands its n1 output factor in lanes with (B, n2, n1)
+    # flattening to TRUE x order, and every reshape/elementwise/dot in
+    # both kernels runs on full lane tiles. The extra arithmetic (cost
+    # ~ n1 + n2 per element) is noise — the pipeline is HBM-bound.
+    n1 = 128
+    n2 = n // n1
+    block, cblock = _fourstep_bands(n)
+    if n % block or n % cblock or n2 < 8 or n2 > 256:
         raise ValueError(
             f"four-step pallas pipeline supports N in [1024, 32768], got {n}")
     negate = config.compat.ref_sign
@@ -529,9 +562,28 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
     w1r_col, w1i_col = (jnp.asarray(a) for a in
                         _dft_matrix_out_alt_np(n1, 1, 0, negate))
     w2r, w2i = (jnp.asarray(a) for a in _dft_matrix_np(n2, 1))
+    ttr_row, tti_row = (jnp.asarray(a) for a in _twiddle_np(n2, n1, 1))
     ttr, tti = (jnp.asarray(a) for a in _twiddle_np(n1, n2, 1))
     pre, pre_rho, omega_rho = precompute_propagate_packed(
         h0_pair, omega, config.compat)
+
+    # column c = k2*N1 + k1 <- true k = k1*N2 + k2. Time-invariant, hoisted
+    # out of rollout scans by XLA's loop-invariant motion, so the row
+    # kernel's stage-1 view is free at step time. Expressed as a gather on
+    # a 1-D index constant, NOT reshape/swapaxes: the transpose form
+    # defeats LICM at N >= 2048 (measured 469 vs 624 steps/s at 2048^2)
+    # while the gather hoists just like precompute's rho-flip does.
+    perm_idx = jnp.asarray(
+        (np.arange(n, dtype=np.int32) % n1) * n2
+        + np.arange(n, dtype=np.int32) // n1)
+
+    def permute_x(a):
+        return jnp.take(a, perm_idx, axis=-1)
+
+    pre = permute_x(pre)
+    pre_rho = permute_x(pre_rho)
+    omega_p = permute_x(omega)
+    omega_rho = permute_x(omega_rho)
 
     vmem = pltpu.VMEM
     vmem_hint = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -561,8 +613,8 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
             bytes_accessed=(10 * block * n + 4 * block * n) * 4,
             transcendentals=4 * block * n,
         ),
-    )(t_arr, pre, pre_rho, omega, omega_rho,
-      w1r_row, w1i_row, w2r, w2i, ttr, tti)
+    )(t_arr, pre, pre_rho, omega_p, omega_rho,
+      w1r_row, w1i_row, w2r, w2i, ttr_row, tti_row)
 
     col_kernel = functools.partial(
         _fourstep_col_kernel, n=n, n1=n1, n2=n2,
@@ -586,8 +638,7 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
             transcendentals=0,
         ),
     )(y, w1r_col, w1i_col, w2r, w2i, ttr, tti)
-    # Deferred x-unblocking: stored position n1*N2 + n2 -> true x n1 + N1*n2.
-    return planes.reshape(3, n, n1, n2).swapaxes(-1, -2).reshape(3, n, n)
+    return planes
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
@@ -605,10 +656,11 @@ def pallas_fields(
     non-"highest" precision runs as ONE VMEM-resident kernel; 512@"highest"
     uses the row/column-blocked two-kernel pipeline (``_blocked_fields``);
     N >= 1024 uses the four-step two-kernel pipeline (``_fourstep_fields``
-    — fused packed-Hermitian propagate + in-VMEM four-step stages, the
-    Pallas answer to the XLA einsum plateau at the reference's scaling
-    frontier, SURVEY §7.3; at 1024 it beats both the blocked kernel and
-    the jnp packed path: 1,577 vs 1,192 / 1,326 steps/s on v5e).
+    — fused packed-Hermitian propagate + in-VMEM four-step stages in
+    true index order, the Pallas answer to the XLA einsum plateau at the
+    reference's scaling frontier, SURVEY §7.3; on v5e it measures
+    ~2,000 / 602 / 151 steps/s at 1024/2048/4096 vs 1,296 / 480 / 69.5
+    for the best XLA paths).
     """
     if h0_pair.ndim != 3:
         raise ValueError("pallas_fields takes a single unbatched state; vmap for cascades")

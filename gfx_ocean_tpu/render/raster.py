@@ -523,26 +523,29 @@ def _deferred_shade(displacement, dtab, key_img,
     return jnp.where(covered[..., None], color, clear[None, None]), z_img
 
 
-def _slot_kernel(cov_ref, irow_ref, frow_ref, key_ref, flat_ref, *,
-                 rb: int, width: int, height: int, spill: int,
+def _slot_kernel(cov_ref, crow_ref, key_ref, flat_ref, *,
+                 bl: int, width: int, height: int, spill: int,
                  bw_bits: int, id_bits: int):
     """Fused per-slot stage: decode the packed int row, walk the bbox in
     column pairs, evaluate BOTH pair pixels' edge/denominator/z tests,
     and emit (key, flat-pixel) per subpixel. One VMEM pass over the slot
     tables — XLA left this as ~10 unfused slice/convert fusions re-reading
     the (15, P) table (measured ~14 ms at a 1.26M pool; this kernel is
-    traffic-bound at ~0.5 ms). The edge expressions are literally the
+    traffic-bound at ~0.5 ms). Blocks are 2D ``(C, bl)`` slices of the
+    ``(C, P)`` tables — the tables enter and the subpixel rows leave in
+    their natural layout (the earlier 3D ``(C, P/128, 128)`` blocking
+    spent ~1.9 ms/frame at 1200x700 on XLA relayout copies either side
+    of the kernel). The edge expressions are literally the
     ones the window impl evaluates (same mul/add sequence, f32) so
     coverage equality holds bit-for-bit; verified on hardware by the
     pool==window drive and fuzz camera sweeps."""
-    base = pl.program_id(0) * (rb * 128)
-    r_i = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 0)
-    l_i = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
-    slot = base + r_i * 128 + l_i
+    base = pl.program_id(0) * bl
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (1, bl), 1)
+    slot = base + l_i
     valid = slot < cov_ref[0, 0]
-    st = irow_ref[0, :, :].astype(jnp.int32)
-    xy = irow_ref[1, :, :]
-    bwid = irow_ref[2, :, :]
+    st = crow_ref[15:16, :].astype(jnp.int32)
+    xy = crow_ref[16:17, :]
+    bwid = crow_ref[17:18, :]
     px0 = (xy & jnp.uint32(0xFFFF)).astype(jnp.int32)
     py0 = ((xy >> 16) & jnp.uint32(0x7FFF)).astype(jnp.int32)
     bws = (bwid & jnp.uint32((1 << bw_bits) - 1)).astype(jnp.int32)
@@ -559,7 +562,8 @@ def _slot_kernel(cov_ref, irow_ref, frow_ref, key_ref, flat_ref, *,
     col2 = (kf - q * cwf).astype(jnp.int32)
     px = px0 + 2 * col2
     py = py0 + q.astype(jnp.int32)
-    f = frow_ref[:, :, :]                               # (15, rb, 128)
+    f = [jax.lax.bitcast_convert_type(crow_ref[i:i + 1, :], jnp.float32)
+         for i in range(15)]                            # 15 x (1, bl)
     pny = 2.0 * (py.astype(jnp.float32) + 0.5) / height - 1.0
     # Both pixels of the pair evaluate the FULL edge expressions (not an
     # incremental update) so their rounding is identical to the window
@@ -576,49 +580,49 @@ def _slot_kernel(cov_ref, irow_ref, frow_ref, key_ref, flat_ref, *,
         z = (lam0 * f[9] + lam1 * f[10] + lam2 * f[11]
              ) / jnp.where(lam_w == 0, 1.0, lam_w)
         hit = hit & (z > -1.0) & (z < 1.0)
-        key_ref[sub, :, :] = _pack_key(z, tri_id, hit, id_bits)
-        flat_ref[sub, :, :] = jnp.where(hit, py * width + pxs, spill)
+        key_ref[sub:sub + 1, :] = _pack_key(z, tri_id, hit, id_bits)
+        flat_ref[sub:sub + 1, :] = jnp.where(hit, py * width + pxs, spill)
 
 
-def _slot_stage(irow, frow, total_covered, pool: int, width: int,
+def _slot_stage(crow, total_covered, pool: int, width: int,
                 height: int, spill: int, bw_bits: int, id_bits: int):
-    """Run ``_slot_kernel`` over the slot tables. Pads the slot axis up
-    to a block multiple (padded slots sit past ``total_covered`` and
-    emit inert (KEY_MAX, spill) entries) and returns per-subpixel
-    ``([key0, key1], [flat0, flat1])`` rows of length ``pool``."""
-    lanes = -(-(-(-pool // 128)) // 8) * 8   # slot rows, padded to f32 tile
-    rb = 256
-    while lanes % rb:
-        rb //= 2                             # rb >= 8: lanes is a multiple of 8
-    p_pad = lanes * 128
+    """Run ``_slot_kernel`` over the packed slot table (15 f32 edge rows
+    bitcast to u32, then 3 int rows). Pads the slot axis up to a block
+    multiple (padded slots sit past ``total_covered`` and emit inert
+    (KEY_MAX, spill) entries) and returns per-subpixel
+    ``([key0, key1], [flat0, flat1])`` rows of length ``pool``.
+
+    The kernel takes the packed table as ONE u32 input (full-height
+    blocks — Mosaic requires the second-minor block dim to divide 8 or
+    equal the array dim) and bitcasts the 15 edge rows back to f32
+    in-register, so no row slicing or copying happens outside."""
+    bl = 8192
+    p_pad = -(-pool // bl) * bl
     if p_pad != pool:
-        irow = jnp.pad(irow, ((0, 0), (0, p_pad - pool)))
-        frow = jnp.pad(frow, ((0, 0), (0, p_pad - pool)))
+        crow = jnp.pad(crow, ((0, 0), (0, p_pad - pool)))
     cov = jnp.reshape(total_covered.astype(jnp.int32), (1, 1))
-    kern = functools.partial(_slot_kernel, rb=rb, width=width,
+    kern = functools.partial(_slot_kernel, bl=bl, width=width,
                              height=height, spill=spill, bw_bits=bw_bits,
                              id_bits=id_bits)
     interpret = jax.default_backend() == "cpu"
     keys, flats = pl.pallas_call(
         kern,
-        grid=(lanes // rb,),
-        out_shape=(jax.ShapeDtypeStruct((2, lanes, 128), jnp.uint32),
-                   jax.ShapeDtypeStruct((2, lanes, 128), jnp.int32)),
+        grid=(p_pad // bl,),
+        out_shape=(jax.ShapeDtypeStruct((2, p_pad), jnp.uint32),
+                   jax.ShapeDtypeStruct((2, p_pad), jnp.int32)),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, rb, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((15, rb, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((18, bl), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((2, rb, 128), lambda i: (0, i, 0),
+        out_specs=(pl.BlockSpec((2, bl), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((2, rb, 128), lambda i: (0, i, 0),
+                   pl.BlockSpec((2, bl), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(cov, irow.reshape(3, lanes, 128), frow.reshape(15, lanes, 128))
-    keys = keys.reshape(2, p_pad)[:, :pool]
-    flats = flats.reshape(2, p_pad)[:, :pool]
+    )(cov, crow)
+    keys = keys[:, :pool]
+    flats = flats[:, :pool]
     return [keys[0], keys[1]], [flats[0], flats[1]]
 
 
@@ -747,8 +751,15 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     start = cum - area_s
     n_zero = t_count - jnp.sum(area_s > 0)
 
-    # Per-triangle rows: one int gather + one f32 gather per slot.
+    # Per-triangle row table, f32 edge columns bitcast to u32 and packed
+    # WITH the int columns: the slot stage then costs ONE 18-column row
+    # gather instead of an int + an f32 gather — TPU gather cost is
+    # per-row (index coherence), not per-byte, so the merge halves it
+    # (measured 2 x 2.27 ms -> ~2.3 ms at a 1.26M pool). f32 columns
+    # first so both kernel views start on a (3/15)-row block boundary.
     itab = jnp.stack([start.astype(jnp.uint32), xy_s, bwid_s], axis=1)
+    ctab = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(ftab_s, jnp.uint32), itab], axis=1)
 
     # Slot -> sorted triangle: scatter a 1 at every segment start, then
     # a running count. Zero-area triangles sort first and scatter
@@ -759,14 +770,13 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     sorted_idx = jnp.clip(n_zero + _prefix_sum_mxu(segd[:-1]) - 1, 0,
                           t_count - 1)
 
-    # One packed-row gather per slot per table; both gathers read in
-    # SORTED-segment order (monotonic indices — the cheap, coherent
-    # gather form). A slot is live iff it is below the covered prefix
-    # (segments are contiguous from 0).
-    irow = itab[sorted_idx].T                           # (3, P) uint32
-    frow = ftab_s[sorted_idx].T                         # (15, P)
+    # ONE packed-row gather per slot, read in SORTED-segment order
+    # (monotonic indices — the cheap, coherent gather form). A slot is
+    # live iff it is below the covered prefix (segments are contiguous
+    # from 0).
+    crow = ctab[sorted_idx].T                           # (18, P) uint32
     total_covered = jnp.minimum(cum[-1] if t_count else 0, pool)
-    keys, flats = _slot_stage(irow, frow, total_covered, pool,
+    keys, flats = _slot_stage(crow, total_covered, pool,
                               width, height, spill, bw_bits, id_bits)
     # SORT-BASED VISIBILITY RESOLVE. The z-buffer min is a min-by-key
     # reduction; XLA TPU scatter processes updates SERIALLY (~9 ns each —
@@ -801,7 +811,11 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     score_s = jnp.where(cross_s, jnp.inf,
                         jnp.where((cum > pool) & (area_s > 0),
                                   area_s.astype(jnp.float32), -1.0))
-    score = jnp.full((t_count,), -1.0, jnp.float32).at[order].set(score_s)
+    # Un-permute scores to original triangle-id order by SORTING on the
+    # carried iota (``order`` is a permutation, so keys are unique): a
+    # T-sized sort is ~5x cheaper than the equivalent T-update scatter
+    # (XLA TPU scatter is serial, ~9 ns/update).
+    _, score = jax.lax.sort((order, score_s), num_keys=1, is_stable=False)
     key_img = _giant_pass(clip, tris, score, key_img, width, height,
                           giants, id_bits)
 

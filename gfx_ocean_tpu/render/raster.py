@@ -444,6 +444,18 @@ def _decode_tri(id_img, grid_shape):
     return vt, jnp.stack([u, v], axis=-1)
 
 
+def _gather_rows_t(tab, idx):
+    """Gather rows of ``tab`` (T, C) at ``idx`` (...), emitting the
+    TRANSPOSED (C, ...) result directly via gather dimension numbers
+    (offset dim first). Saves the explicit (..., C) -> (C, ...)
+    relayout copy after the gather (~1 ms per 1.26M rows at C=18,
+    measured in the 1200x700 frame profile)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return jax.lax.gather(tab, idx[..., None], dn,
+                          slice_sizes=(1, tab.shape[1]))
+
+
 def _edge_table(v_clip):
     """Per-triangle sign-folded homogeneous edge table, (T, 15) f32:
     columns [cr00..cr22 (9), z0 z1 z2, w0 w1 w2]. Shared by the pool
@@ -489,30 +501,41 @@ def _deferred_shade(displacement, dtab, key_img,
     covered = key_img != _KEY_MAX
     id_img = (key_img & jnp.uint32((1 << id_bits) - 1)).astype(jnp.int32)
     pnx_f, pny_f = _pixel_ndc(width, height)
-    trow = dtab[id_img]                                 # (H, W, C) one gather
-    lam0 = trow[..., 0] * pnx_f + trow[..., 1] * pny_f + trow[..., 2]
-    lam1 = trow[..., 3] * pnx_f + trow[..., 4] * pny_f + trow[..., 5]
-    lam2 = trow[..., 6] * pnx_f + trow[..., 7] * pny_f + trow[..., 8]
+    # One transposed row gather: (C, H, W) planes. Plane reads are then
+    # leading-dim slices (contiguous) instead of the minor-dim slices of
+    # the (H, W, C) form, which re-read the lane-padded gather result
+    # (~1.9 ms/frame at 1200x700).
+    tpl = _gather_rows_t(dtab, id_img)                  # (C, H, W)
+    lam0 = tpl[0] * pnx_f + tpl[1] * pny_f + tpl[2]
+    lam1 = tpl[3] * pnx_f + tpl[4] * pny_f + tpl[5]
+    lam2 = tpl[6] * pnx_f + tpl[7] * pny_f + tpl[8]
     denom = lam0 + lam1 + lam2
     inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
 
-    lam_w = (lam0 * trow[..., 12] + lam1 * trow[..., 13]
-             + lam2 * trow[..., 14])
-    z_pix = (lam0 * trow[..., 9] + lam1 * trow[..., 10]
-             + lam2 * trow[..., 11]) / jnp.where(lam_w == 0, 1.0, lam_w)
+    lam_w = lam0 * tpl[12] + lam1 * tpl[13] + lam2 * tpl[14]
+    z_pix = (lam0 * tpl[9] + lam1 * tpl[10]
+             + lam2 * tpl[11]) / jnp.where(lam_w == 0, 1.0, lam_w)
     z_img = jnp.where(covered, z_pix.astype(jnp.float32), jnp.inf)
 
-    def interp(a):                                      # (H, W, 3, A) corners
-        return (lam0[..., None] * a[..., 0, :]
-                + lam1[..., None] * a[..., 1, :]
-                + lam2[..., None] * a[..., 2, :]) * inv_denom[..., None]
+    def interp_planes(corners):                         # 3 x A (H, W) planes
+        return jnp.stack(
+            [(lam0 * a0 + lam1 * a1 + lam2 * a2) * inv_denom
+             for a0, a1, a2 in corners], axis=-1)
 
     if grid_shape is not None:
         _, uv_corners = _decode_tri(id_img, grid_shape)  # arithmetic decode
+        uv_img = (lam0[..., None] * uv_corners[..., 0, :]
+                  + lam1[..., None] * uv_corners[..., 1, :]
+                  + lam2[..., None] * uv_corners[..., 2, :]
+                  ) * inv_denom[..., None]
     else:
-        uv_corners = trow[..., 24:30].reshape(trow.shape[:-1] + (3, 2))
-    uv_img = interp(uv_corners)
-    world_img = interp(trow[..., 15:24].reshape(trow.shape[:-1] + (3, 3)))
+        # [u0 v0 u1 v1 u2 v2] columns 24..29
+        uv_img = interp_planes([(tpl[24], tpl[26], tpl[28]),
+                                (tpl[25], tpl[27], tpl[29])])
+    # world corners at columns 15..23 as [x0 y0 z0 x1 y1 z1 x2 y2 z2]
+    world_img = interp_planes([(tpl[15], tpl[18], tpl[21]),
+                               (tpl[16], tpl[19], tpl[22]),
+                               (tpl[17], tpl[20], tpl[23])])
 
     color = sh.shade_fragments(displacement, uv_img[..., 0], uv_img[..., 1],
                                world_img, camera_pos, foam=foam,
@@ -774,7 +797,7 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     # (monotonic indices — the cheap, coherent gather form). A slot is
     # live iff it is below the covered prefix (segments are contiguous
     # from 0).
-    crow = ctab[sorted_idx].T                           # (18, P) uint32
+    crow = _gather_rows_t(ctab, sorted_idx)             # (18, P) uint32
     total_covered = jnp.minimum(cum[-1] if t_count else 0, pool)
     keys, flats = _slot_stage(crow, total_covered, pool,
                               width, height, spill, bw_bits, id_bits)

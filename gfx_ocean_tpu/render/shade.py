@@ -104,7 +104,22 @@ def _packed_table_bilerp(planes, u, v):
     for plane in planes:
         t0 = _pack_f16_pair(plane, jnp.roll(plane, -1, axis=1))
         cols += [t0, jnp.roll(t0, -1, axis=0)]
-    tab = jnp.stack(cols, axis=-1).reshape(n_y * n_x, len(cols))
+    n_cols = len(cols)
+    tab = jnp.stack(cols, axis=-1).reshape(n_y * n_x, n_cols)
+
+    # Row-count cliff: (H, W)-indexed row gathers cost ~3.95 ns/index
+    # from a table with more than 2^17 rows but ~1.33 ns/index at or
+    # below it (measured on v5e across widths 4..32; index coherence is
+    # irrelevant — CLAUDE.md gather cost model). Fold ``group`` texels
+    # into each row (adjacent flat indices, so row r = texels
+    # [r*group, (r+1)*group)) and select the right column group with the
+    # fused elementwise bits of the flat index — width is free, rows are
+    # not.
+    group = 1
+    while (n_y * n_x) // group > (1 << 17):
+        group *= 2
+    if group > 1:
+        tab = tab.reshape(n_y * n_x // group, group * n_cols)
 
     x = u * n_x - 0.5
     y = v * n_y - 0.5
@@ -114,7 +129,18 @@ def _packed_table_bilerp(planes, u, v):
     fy = y - y0
     x0i = jnp.mod(x0.astype(jnp.int32), n_x)
     y0i = jnp.mod(y0.astype(jnp.int32), n_y)
-    rows = jnp.moveaxis(tab[y0i * n_x + x0i], -1, 0)    # (2 * planes, ...)
+    flat = y0i * n_x + x0i
+    grows = jnp.moveaxis(tab[flat // group], -1, 0)     # (group*n_cols, ...)
+    if group > 1:
+        sub = flat - (flat // group) * group            # texel within row
+        rows = []
+        for k in range(n_cols):
+            r = grows[k]
+            for g in range(1, group):
+                r = jnp.where(sub == g, grows[g * n_cols + k], r)
+            rows.append(r)
+    else:
+        rows = list(grows)
 
     out = []
     for k in range(len(planes)):

@@ -141,6 +141,34 @@ def test_fragment_normals_flat_sea_points_up():
     np.testing.assert_allclose(n[0], [0, 1, 0], atol=1e-6)
 
 
+def test_packed_table_bilerp_group_rows_exact():
+    """At 512^2 the tap table packs 2 texels/row (the 2^17 gather
+    row-count cliff, CLAUDE.md cost model); the packed select must be
+    BIT-identical to plain f16-corner bilinear interpolation."""
+    rng = np.random.default_rng(1)
+    n = 512
+    planes = [jnp.asarray(rng.standard_normal((n, n), dtype=np.float32))
+              for _ in range(2)]
+    u = jnp.asarray(rng.random((23, 31), dtype=np.float32) * 3.0)
+    v = jnp.asarray(rng.random((23, 31), dtype=np.float32) * 3.0)
+    got = sh._packed_table_bilerp(planes, u, v)
+
+    x = np.asarray(u) * n - 0.5
+    y = np.asarray(v) * n - 0.5
+    x0 = np.floor(x); y0 = np.floor(y)
+    fx = (x - x0).astype(np.float32); fy = (y - y0).astype(np.float32)
+    x0 = np.mod(x0.astype(np.int64), n); y0 = np.mod(y0.astype(np.int64), n)
+    for g, p in zip(got, planes):
+        t = np.asarray(p)
+
+        def tex(yy, xx):
+            return t[yy % n, xx % n].astype(np.float16).astype(np.float32)
+
+        want = ((tex(y0, x0) * (1 - fx) + tex(y0, x0 + 1) * fx) * (1 - fy)
+                + (tex(y0 + 1, x0) * (1 - fx) + tex(y0 + 1, x0 + 1) * fx) * fy)
+        np.testing.assert_array_equal(np.asarray(g), want)
+
+
 # --- rasterizer ---------------------------------------------------------------
 
 @pytest.fixture(scope="module")

@@ -8,14 +8,15 @@ import gfx_ocean_tpu as ot
 from gfx_ocean_tpu.render.camera import Camera, perspective
 from gfx_ocean_tpu.render.raster import make_frame_renderer
 
+W = int(os.environ.get("PW", 480)); H = int(os.environ.get("PH", 280))
 state = ot.ocean_state_from_assets()
 cfg = ot.OceanConfig()
-fr = make_frame_renderer(cfg, width=480, height=280)
+fr = make_frame_renderer(cfg, width=W, height=H)
 cam = Camera()
-vp = jnp.asarray((perspective(480/280) @ cam.view()).astype(np.float32))
+vp = jnp.asarray((perspective(W/H) @ cam.view()).astype(np.float32))
 cp = jnp.asarray(cam.position.astype(np.float32))
 img = fr(state, jnp.float32(0.0), vp, cp); np.asarray(img)
-print("compiled", flush=True)
+print(f"compiled {W}x{H}", flush=True)
 # device-pipelined (dispatch overlap)
 for _ in range(3):
     t0 = time.perf_counter(); n = 20

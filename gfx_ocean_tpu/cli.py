@@ -48,6 +48,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--frag-normal-x", action="store_true",
                    help="replicate the reference frag's .x normal taps — the "
                         "disp_x channel, a reference bug (Q8); default taps height")
+    p.add_argument("--pbr-roughness", type=float, default=0.0,
+                   help="> 0 adds the opt-in Cook-Torrance specular lobe "
+                        "built from the reference's defined-but-unused GGX "
+                        "helpers (ocean.frag:32-47); 0 = reference shading")
     p.add_argument("--spectrum", type=str, default=None, help="path to spectrum.bin")
     p.add_argument("--omega", type=str, default=None, help="path to omega.bin")
     p.add_argument("--phillips", action="store_true",
@@ -80,6 +84,7 @@ def _build(args):
         num_cascades=args.cascades,
         compute_normals=args.normals,
         compute_foam=args.foam,
+        pbr_roughness=args.pbr_roughness,
         compat=CompatFlags(
             wrap_k=args.compat_wrap_k,
             ref_sign=not args.canonical_sign,
@@ -324,6 +329,9 @@ def cmd_render(args) -> int:
 
     config, _, state = _build(args)
     os.makedirs(args.out, exist_ok=True)
+    if args.frames <= 0:
+        print(f"rendered 0 frames to {args.out}")
+        return 0
     # Precompute the whole camera path host-side (deterministic replay of
     # the key script), then run the FUSED step->rasterize->sRGB pipeline
     # in frame chunks: one dispatch + one uint8 transfer per chunk instead

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gfx_ocean_tpu.config import OceanConfig
 from gfx_ocean_tpu.ops.propagate import _phase_mod_2pi
 from gfx_ocean_tpu.ops.fft import (_dft_matrix_np, _dft_matrix_out_alt_np,
-                                   _split, _twiddle_np)
+                                   _twiddle_np)
 
 
 def _dot3(a, b, dims):

@@ -115,8 +115,15 @@ def _packed_table_bilerp(planes, u, v):
     # [r*group, (r+1)*group)) and select the right column group with the
     # fused elementwise bits of the flat index — width is free, rows are
     # not.
+    # Cap the fold at 8 texels/row AND 32 total u32 columns: both are the
+    # bounds the cliff was measured inside (runs-of-2..8 coherence, widths
+    # 4..32 — CLAUDE.md). Past them (e.g. a 4096^2 texture would need
+    # group=128 => 512-col rows + a 127-deep select chain per column) the
+    # unmeasured select/traffic cost plausibly exceeds the ~2.6 ns/idx
+    # saving, so leave those tables above the cliff instead.
     group = 1
-    while (n_y * n_x) // group > (1 << 17):
+    while ((n_y * n_x) // group > (1 << 17) and group < 8
+           and 2 * group * n_cols <= 32):
         group *= 2
     if group > 1:
         tab = tab.reshape(n_y * n_x // group, group * n_cols)

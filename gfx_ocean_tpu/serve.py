@@ -481,7 +481,10 @@ def serve(state: OceanState, config: OceanConfig, host: str = "127.0.0.1",
     service = FrameService(state, config, mesh=mesh, sharded_fft=sharded_fft)
     service.fields(0.0)  # warmup: compile + first transfer
     try:  # and the viewer's default fused pipeline (best effort)
-        service.frame_png(0.0, 960, 540, 16, fmt="JPEG")
+        # samples is unused on the fused path; giants defaults to 512 on
+        # both this call and the HTTP handler, so the compiled key
+        # (960, 540, 512) is exactly the viewer's default request key.
+        service.frame_png(0.0, 960, 540, samples=16, fmt="JPEG")
     except Exception:  # pragma: no cover - PIL absent etc.
         pass
     server = ThreadingHTTPServer((host, port), _make_handler(service))

@@ -74,6 +74,28 @@ def test_cli_render(tmp_path, capsys):
     assert np.isfinite(img).all()
 
 
+def test_cli_render_zero_frames(tmp_path, capsys):
+    """--frames 0 renders nothing and exits 0 (no np.stack of an empty
+    camera path)."""
+    out = str(tmp_path / "frames0")
+    assert main(["render", *BASE, "--frames", "0", "--out", out]) == 0
+    assert os.listdir(out) == []
+
+
+def test_cli_render_pbr_roughness(tmp_path, capsys):
+    """--pbr-roughness reaches the shader: the Cook-Torrance lobe only
+    brightens pixels, and some specular pixel must actually change."""
+    out0 = str(tmp_path / "f0")
+    outr = str(tmp_path / "fr")
+    common = ["render", *BASE, "--frames", "1", "--width", "64",
+              "--height", "48", "--samples", "8"]
+    assert main([*common, "--out", out0]) == 0
+    assert main([*common, "--pbr-roughness", "0.3", "--out", outr]) == 0
+    a = np.load(os.path.join(out0, "frame_00000.npy")).astype(np.int32)
+    b = np.load(os.path.join(outr, "frame_00000.npy")).astype(np.int32)
+    assert (b - a).min() >= 0 and (b != a).any()
+
+
 def test_cli_phillips_flag(capsys):
     assert main(["simulate", *BASE, "--phillips", "--steps", "2",
                  "--wind-speed", "20"]) == 0

@@ -141,14 +141,19 @@ def test_fragment_normals_flat_sea_points_up():
     np.testing.assert_allclose(n[0], [0, 1, 0], atol=1e-6)
 
 
-def test_packed_table_bilerp_group_rows_exact():
-    """At 512^2 the tap table packs 2 texels/row (the 2^17 gather
-    row-count cliff, CLAUDE.md cost model); the packed select must be
-    BIT-identical to plain f16-corner bilinear interpolation."""
+@pytest.mark.parametrize("n,n_planes", [
+    (512, 2),    # production tap table: group=2 (8-col rows)
+    (1024, 1),   # deepest fold the caps admit: group=8 (16-col rows)
+    (2048, 2),   # fold capped at 8 (rows stay above the cliff by design)
+])
+def test_packed_table_bilerp_group_rows_exact(n, n_planes):
+    """The tap table packs adjacent texels into wider rows (the 2^17
+    gather row-count cliff, CLAUDE.md cost model; group capped at 8
+    texels / 32 u32 columns); every packed select must be BIT-identical
+    to plain f16-corner bilinear interpolation."""
     rng = np.random.default_rng(1)
-    n = 512
     planes = [jnp.asarray(rng.standard_normal((n, n), dtype=np.float32))
-              for _ in range(2)]
+              for _ in range(n_planes)]
     u = jnp.asarray(rng.random((23, 31), dtype=np.float32) * 3.0)
     v = jnp.asarray(rng.random((23, 31), dtype=np.float32) * 3.0)
     got = sh._packed_table_bilerp(planes, u, v)

@@ -1,0 +1,101 @@
+"""Multi-chip band-parallel rendering (shard_map over viewport rows).
+
+The reference draws its whole 1200x700 window on the one GPU
+(``src/render.rs:1312-1362``); this module is the scaling axis it lacks,
+built the TPU way: split the viewport into horizontal bands, one per
+device along a mesh axis, and let each chip run the UNMODIFIED pool
+rasterizer on its band (``render/raster.py`` ``y_origin``/``full_height``).
+Band pixels sample f32-identical NDC centers to the full-frame render, so
+the composited image is BIT-equal to the single-chip frame — the split is
+free of seams by construction, not by tolerance.
+
+Why bands scale better than linearly: the rasterizer's device-frame floor
+is its two per-pixel-hit visibility sorts (docs/DESIGN.md round 3b), and
+sort cost is n log n in the band's hit count — D bands of n/D hits cost
+(n/D) log(n/D) each, in parallel. The sim step is replicated per device
+(it is ~1% of a 1200x700 frame; replicating it avoids an all_gather of
+the displacement map on the frame's critical path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gfx_ocean_tpu.config import OceanConfig
+from gfx_ocean_tpu.models.ocean import OceanState, step as _ocean_step
+from gfx_ocean_tpu.render.raster import (_auto_pool, _interp_matrices,
+                                         _mesh_constants, _rasterize_pool)
+
+
+def make_sharded_frame_renderer(
+    config: OceanConfig,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    giants: int = 512,
+    pool: int | None = None,
+    axis: str = "row",
+):
+    """Jitted fused step -> band rasterize -> sRGB over a device mesh.
+
+    Returns ``fn(state, t, view_proj, camera_pos) -> (height, width, 3)
+    uint8`` whose output rows are sharded over ``mesh[axis]`` (device d
+    renders rows ``[d*height/D, (d+1)*height/D)``); ``np.asarray`` on the
+    result gathers the bands. The image is bit-equal to
+    ``make_frame_renderer(config, width, height, giants)`` on one chip
+    (asserted in tests and ``__graft_entry__.dryrun_multichip``).
+
+    ``view_proj`` must be built with the FULL viewport aspect
+    (``perspective(width / height)``), exactly as for the single-chip
+    renderer — bands crop the sample grid, not the projection.
+    """
+    n_bands = mesh.shape[axis]
+    if height % n_bands:
+        raise ValueError(
+            f"height {height} must divide into mesh axis {axis!r} "
+            f"({n_bands} bands); pad the viewport or re-shape the mesh")
+    band_h = height // n_bands
+    config = dataclasses.replace(config, compute_normals=False)
+    positions, uvs, tris = _mesh_constants(config.mesh_resolution,
+                                           config.num_patches)
+    if config.num_cascades > 1:
+        tiles = tuple(float(config.domains[0] / d) for d in config.domains)
+        interp = tuple(_interp_matrices(config.mesh_resolution,
+                                        config.resolution, t) for t in tiles)
+    else:
+        tiles = None
+        interp = _interp_matrices(config.mesh_resolution, config.resolution)
+    band_pool = pool or _auto_pool(width, band_h)
+
+    def band_fn(state, t, view_proj, camera_pos):
+        fields = _ocean_step(state, t, config)
+        y0 = jax.lax.axis_index(axis) * band_h
+        img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
+                                 view_proj, camera_pos, width, band_h,
+                                 band_pool, giants, interp,
+                                 (config.num_patches, config.mesh_resolution),
+                                 fields.foam if config.compute_foam else None,
+                                 0 if config.compat.frag_normal_x else 1,
+                                 (float(config.height_div),
+                                  float(config.horiz_div),
+                                  float(config.normal_height_scale),
+                                  float(config.pbr_roughness)),
+                                 tiles, y_origin=y0, full_height=height)
+        return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0
+                ).astype(jnp.uint8)
+
+    rep = P()
+    state_specs = OceanState(h0=rep, omega=rep)
+    # check_vma=False: the band body calls the jitted _rasterize_pool,
+    # whose inner jit does not carry varying-mesh-axes metadata; the
+    # out_specs contract (rows vary over ``axis`` only) is asserted
+    # bit-exactly against the single-chip renderer in tests instead.
+    fn = shard_map(band_fn, mesh=mesh,
+                   in_specs=(state_specs, rep, rep, rep),
+                   out_specs=P(axis), check_vma=False)
+    return jax.jit(fn)

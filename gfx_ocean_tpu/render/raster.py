@@ -286,10 +286,19 @@ def _lambdas(v_clip, pnx, pny, pix_dims):
     return ev(0), ev(1), ev(2), det
 
 
-def _pixel_ndc(width: int, height: int):
-    """Pixel-center NDC coordinate rows for a (height, width) image."""
+def _pixel_ndc(width: int, height: int, y_origin=0, full_height: int | None = None):
+    """Pixel-center NDC coordinate rows for a (height, width) image.
+
+    With ``y_origin``/``full_height`` the image is a horizontal BAND of a
+    ``full_height``-row viewport starting at global row ``y_origin`` (the
+    multi-chip band renderer): local row j samples the f32-identical NDC
+    the full-frame render uses for global row ``y_origin + j`` (integer
+    adds are exact below 2^24, so band coverage is bit-equal to the full
+    frame's rows, not merely close)."""
+    full_height = height if full_height is None else full_height
     pnx = 2.0 * (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width - 1.0
-    pny = 2.0 * (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5) / height - 1.0
+    gy = (jnp.arange(height, dtype=jnp.int32) + y_origin).astype(jnp.float32)
+    pny = 2.0 * (gy[:, None] + 0.5) / full_height - 1.0
     return pnx, pny
 
 
@@ -358,7 +367,8 @@ def _pack_key(z, tri_id, hit, id_bits: int):
 
 
 def _giant_pass(clip, tris_all, score, key_img, width: int,
-                height: int, giants: int, id_bits: int):
+                height: int, giants: int, id_bits: int,
+                y_origin=0, full_height: int | None = None):
     """Edge-test the ``giants`` highest-scored triangles against every
     pixel, in groups of ``_GIANT_GROUP``, merging visibility keys into
     the scatter pass's key image. Non-positive scores are inert, and the
@@ -381,7 +391,7 @@ def _giant_pass(clip, tris_all, score, key_img, width: int,
     giant_ok = giant_ok.reshape(groups, _GIANT_GROUP)
     n_active = jnp.sum(giant_ok.astype(jnp.int32))      # descending scores
     groups_needed = (n_active + _GIANT_GROUP - 1) // _GIANT_GROUP
-    pnx_f, pny_f = _pixel_ndc(width, height)
+    pnx_f, pny_f = _pixel_ndc(width, height, y_origin, full_height)
 
     def giant_group(kb, ix, ok):
         v_clip = clip[tris_all[ix]]                     # (G, 3, 4)
@@ -492,7 +502,8 @@ def _deferred_shade(displacement, dtab, key_img,
                     camera_pos, width: int, height: int, id_bits: int,
                     grid_shape=None, foam=None, frag_channel: int = 1,
                     height_scale: float = 180.0,
-                    pbr_roughness: float = 0.0, tiles=None):
+                    pbr_roughness: float = 0.0, tiles=None,
+                    y_origin=0, full_height: int | None = None):
     """Per-pixel varying reconstruction + fragment shading from the
     winning visibility-key image. Perspective-correct uv/world via the
     same lambda weights; the EXACT f32 depth is recomputed here from the
@@ -502,7 +513,7 @@ def _deferred_shade(displacement, dtab, key_img,
     ``(color, z_img)``."""
     covered = key_img != _KEY_MAX
     id_img = (key_img & jnp.uint32((1 << id_bits) - 1)).astype(jnp.int32)
-    pnx_f, pny_f = _pixel_ndc(width, height)
+    pnx_f, pny_f = _pixel_ndc(width, height, y_origin, full_height)
     # One transposed row gather: (C, H, W) planes. Plane reads are then
     # leading-dim slices (contiguous) instead of the minor-dim slices of
     # the (H, W, C) form, which re-read the lane-padded gather result
@@ -549,7 +560,7 @@ def _deferred_shade(displacement, dtab, key_img,
 
 
 def _slot_kernel(cov_ref, crow_ref, key_ref, flat_ref, *,
-                 bl: int, width: int, height: int, spill: int,
+                 bl: int, width: int, full_height: int, spill: int,
                  bw_bits: int, id_bits: int):
     """Fused per-slot stage: decode the packed int row, walk the bbox in
     column pairs, evaluate BOTH pair pixels' edge/denominator/z tests,
@@ -589,7 +600,10 @@ def _slot_kernel(cov_ref, crow_ref, key_ref, flat_ref, *,
     py = py0 + q.astype(jnp.int32)
     f = [jax.lax.bitcast_convert_type(crow_ref[i:i + 1, :], jnp.float32)
          for i in range(15)]                            # 15 x (1, bl)
-    pny = 2.0 * (py.astype(jnp.float32) + 0.5) / height - 1.0
+    # cov_ref[0, 1] is the band's global row origin (0 for a full frame):
+    # the integer add keeps band NDC bit-identical to the full frame's.
+    pny = 2.0 * ((py + cov_ref[0, 1]).astype(jnp.float32) + 0.5
+                 ) / full_height - 1.0
     # Both pixels of the pair evaluate the FULL edge expressions (not an
     # incremental update) so their rounding is identical to the window
     # impl's — coverage equality is exact, not approximate.
@@ -610,7 +624,8 @@ def _slot_kernel(cov_ref, crow_ref, key_ref, flat_ref, *,
 
 
 def _slot_stage(crow, total_covered, pool: int, width: int,
-                height: int, spill: int, bw_bits: int, id_bits: int):
+                full_height: int, spill: int, bw_bits: int, id_bits: int,
+                y_origin=0):
     """Run ``_slot_kernel`` over the packed slot table (15 f32 edge rows
     bitcast to u32, then 3 int rows). Pads the slot axis up to a block
     multiple (padded slots sit past ``total_covered`` and emit inert
@@ -625,10 +640,11 @@ def _slot_stage(crow, total_covered, pool: int, width: int,
     p_pad = -(-pool // bl) * bl
     if p_pad != pool:
         crow = jnp.pad(crow, ((0, 0), (0, p_pad - pool)))
-    cov = jnp.reshape(total_covered.astype(jnp.int32), (1, 1))
+    cov = jnp.stack([total_covered.astype(jnp.int32),
+                     jnp.asarray(y_origin, jnp.int32)]).reshape(1, 2)
     kern = functools.partial(_slot_kernel, bl=bl, width=width,
-                             height=height, spill=spill, bw_bits=bw_bits,
-                             id_bits=id_bits)
+                             full_height=full_height, spill=spill,
+                             bw_bits=bw_bits, id_bits=id_bits)
     interpret = jax.default_backend() == "cpu"
     keys, flats = pl.pallas_call(
         kern,
@@ -672,16 +688,28 @@ def _auto_pool(width: int, height: int) -> int:
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "pool", "giants",
                                     "grid_shape", "frag_channel", "scales",
-                                    "tiles"))
+                                    "tiles", "full_height"))
 def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
                     width: int, height: int, pool: int = 1 << 20,
                     giants: int = 512, interp=None, grid_shape=None,
                     foam=None, frag_channel: int = 1,
-                    scales=(3.0, 3.5, 180.0, 0.0), tiles=None):
+                    scales=(3.0, 3.5, 180.0, 0.0), tiles=None,
+                    y_origin=0, full_height: int | None = None):
     """Exact-area pool rasterizer (see module docstring). Coverage and
     depth are identical to ``_rasterize`` (the window impl) by
     construction: both evaluate the same edge/denominator tests at the
-    same pixel centers; only the slot->pixel assignment differs."""
+    same pixel centers; only the slot->pixel assignment differs.
+
+    ``y_origin``/``full_height`` render a horizontal BAND: the output is
+    the (height, width) slice of a ``full_height``-row frame starting at
+    global row ``y_origin`` (traced, so one executable serves every band
+    of a multi-chip split). Band pixels sample f32-identical NDC centers
+    to the full frame's, so stacking the bands reproduces the full-frame
+    image BIT-exactly (each band's slot pool and giant pass only ever see
+    band pixels; which triangles overflow to the giant pass may differ
+    per band, but both passes evaluate the identical edge expressions)."""
+    full_height = height if full_height is None else full_height
+    y_origin = jnp.asarray(y_origin, jnp.int32)
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
                                 interp, scales[0], scales[1], tiles)
     t_count = tris.shape[0]
@@ -710,11 +738,16 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     # there — on-screen coverage is the same).
     w_safe = jnp.where(fully_front[:, None], w, 1.0)
     sx = (v_clip[..., 0] / w_safe * 0.5 + 0.5) * width
-    sy = (v_clip[..., 1] / w_safe * 0.5 + 0.5) * height
+    sy = (v_clip[..., 1] / w_safe * 0.5 + 0.5) * full_height
+    # y bbox in BAND-LOCAL rows (global minus y_origin; the subtraction
+    # is exact in f32 for anything near the viewport, and x - 0.0 == x
+    # bit-exactly for the full-frame default).
+    yof = y_origin.astype(jnp.float32)
     x0 = jnp.maximum(jnp.ceil(sx.min(-1) - 0.5), 0.0).astype(jnp.int32)
     x1 = jnp.minimum(jnp.floor(sx.max(-1) - 0.5), width - 1.0).astype(jnp.int32)
-    y0 = jnp.maximum(jnp.ceil(sy.min(-1) - 0.5), 0.0).astype(jnp.int32)
-    y1 = jnp.minimum(jnp.floor(sy.max(-1) - 0.5), height - 1.0).astype(jnp.int32)
+    y0 = jnp.maximum(jnp.ceil(sy.min(-1) - 0.5) - yof, 0.0).astype(jnp.int32)
+    y1 = jnp.minimum(jnp.floor(sy.max(-1) - 0.5) - yof,
+                     height - 1.0).astype(jnp.int32)
     bw = jnp.maximum(x1 - x0 + 1, 0)
     bh = jnp.maximum(y1 - y0 + 1, 0)
     # One slot serves a PAIR of horizontally adjacent bbox pixels: the
@@ -802,7 +835,8 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     crow = _gather_rows_t(ctab, sorted_idx)             # (18, P) uint32
     total_covered = jnp.minimum(cum[-1] if t_count else 0, pool)
     keys, flats = _slot_stage(crow, total_covered, pool,
-                              width, height, spill, bw_bits, id_bits)
+                              width, full_height, spill, bw_bits, id_bits,
+                              y_origin)
     # SORT-BASED VISIBILITY RESOLVE. The z-buffer min is a min-by-key
     # reduction; XLA TPU scatter processes updates SERIALLY (~9 ns each —
     # the two keyed scatter-mins were the largest single cost of the
@@ -842,14 +876,14 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     # (XLA TPU scatter is serial, ~9 ns/update).
     _, score = jax.lax.sort((order, score_s), num_keys=1, is_stable=False)
     key_img = _giant_pass(clip, tris, score, key_img, width, height,
-                          giants, id_bits)
+                          giants, id_bits, y_origin, full_height)
 
     dtab = _deferred_table(ftab, world, tris, uvs, grid_shape)
     img, z_img = _deferred_shade(displacement, dtab,
                                  key_img, camera_pos, width, height, id_bits,
                                  grid_shape, foam, frag_channel,
                                  scales[2], scales[3] if len(scales) > 3 else 0.0,
-                                 tiles)
+                                 tiles, y_origin, full_height)
     return img, z_img
 
 

@@ -141,8 +141,19 @@ class FrameService:
                     continue
             try:
                 width, height, giants = key
-                fn = make_frame_renderer(self.config, width=width,
-                                         height=height, giants=giants)
+                if self.mesh is not None:
+                    # Band-parallel: each device rasterizes a horizontal
+                    # band of the viewport (bit-equal to single-chip —
+                    # parallel/render.py).
+                    from gfx_ocean_tpu.parallel.render import (  # noqa: PLC0415
+                        make_sharded_frame_renderer)
+
+                    fn = make_sharded_frame_renderer(
+                        self.config, self.mesh, width=width, height=height,
+                        giants=giants)
+                else:
+                    fn = make_frame_renderer(self.config, width=width,
+                                             height=height, giants=giants)
                 cam = Camera()
                 vp = (perspective(width / height) @ cam.view()).astype(
                     np.float32)
@@ -182,7 +193,9 @@ class FrameService:
         from gfx_ocean_tpu.render.camera import Camera, perspective  # noqa: PLC0415
 
         camera = camera if camera is not None else Camera()
-        if self.mesh is None and width * height <= _FUSED_MAX_AREA:
+        fused_ok = width * height <= _FUSED_MAX_AREA and (
+            self.mesh is None or height % self.mesh.shape["row"] == 0)
+        if fused_ok:
             # Fast path: ONE fused dispatch (step -> rasterize -> sRGB on
             # device) — the analog of the reference's single per-frame
             # command-buffer submission (src/render.rs:1122-1372).

@@ -241,3 +241,42 @@ def test_sharded_rollout_packed_shard_map(rng, mesh8):
     b = np.asarray(make_sharded_rollout(cfg, mesh8, time_batch=2)(
         shard_state(state, mesh8), ts))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)
+
+
+def test_sharded_frame_renderer_bit_equal(mesh8):
+    """Band-parallel rendering over the mesh (each device rasterizes a
+    horizontal band of the viewport) is BIT-equal to the single-chip
+    fused renderer — on the full 8-device render split and on a
+    (batch=2, row=4) mesh where the split rides one axis."""
+    from gfx_ocean_tpu.models.ocean import (downsample_state,
+                                            ocean_state_from_assets)
+    from gfx_ocean_tpu.parallel.render import make_sharded_frame_renderer
+    from gfx_ocean_tpu.render.camera import Camera, perspective
+    from gfx_ocean_tpu.render.raster import make_frame_renderer
+
+    cfg = OceanConfig(resolution=64, mesh_resolution=32)
+    state = downsample_state(ocean_state_from_assets(), 64)
+    W, H = 96, 64
+    cam = Camera()
+    vp = jnp.asarray((perspective(W / H) @ cam.view()).astype(np.float32))
+    cp = jnp.asarray(cam.position.astype(np.float32))
+    t = jnp.float32(7.0)
+    want = np.asarray(make_frame_renderer(cfg, W, H, giants=64)(
+        state, t, vp, cp))
+    got = np.asarray(make_sharded_frame_renderer(cfg, mesh8, W, H,
+                                                 giants=64, axis="row")(
+        state, t, vp, cp))
+    np.testing.assert_array_equal(got, want)
+    full = make_mesh(batch=1)   # all 8 devices on the render axis
+    got8 = np.asarray(make_sharded_frame_renderer(cfg, full, W, H,
+                                                  giants=64)(
+        state, t, vp, cp))
+    np.testing.assert_array_equal(got8, want)
+
+
+def test_sharded_frame_renderer_validates_height(mesh8):
+    from gfx_ocean_tpu.parallel.render import make_sharded_frame_renderer
+
+    with pytest.raises(ValueError, match="height"):
+        make_sharded_frame_renderer(OceanConfig(resolution=64), mesh8,
+                                    96, 50, axis="row")   # 50 % 4 != 0

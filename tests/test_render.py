@@ -380,6 +380,51 @@ def test_pool_matches_window_fuzz_cameras(disp64):
         np.testing.assert_allclose(img_p, img_w, atol=1e-4)
 
 
+def test_band_render_bit_equal_fuzz(disp64):
+    """Horizontal-band rendering (``y_origin``/``full_height`` — the
+    multi-chip viewport split) stacks to the full frame BIT-exactly:
+    band pixels sample f32-identical NDC centers, so coverage, depth and
+    color all match to the bit, across poses that exercise the giant
+    pass (skimming camera) and eye-plane crossings."""
+    from gfx_ocean_tpu.render import raster as rr
+    from gfx_ocean_tpu.render.camera import perspective as persp
+
+    disp = disp64
+    mres, npat, W, H = 32, 4, 80, 48
+    positions, uvs, tris = rr._mesh_constants(mres, npat)
+    tiles, interp = rr._cascade_setup(jnp.asarray(disp), None, mres)
+    scales = (3.0, 3.5, 180.0, 0.0)
+    gs = (npat, mres)
+    rng = np.random.default_rng(11)
+    poses = [(np.array([31.0, 2.5, 55.0]), np.zeros(3))]   # skimming
+    for _ in range(4):
+        poses.append((np.array([rng.uniform(-20, 80), rng.uniform(1, 60),
+                                rng.uniform(-20, 130)]),
+                      np.array([rng.uniform(-1.0, 0.2),
+                                rng.uniform(-3.1, 3.1), 0.0])))
+    for pos, rot in poses:
+        cam = Camera()
+        cam.position, cam.rotation = pos, rot
+        vp = jnp.asarray((persp(W / H) @ cam.view()).astype(np.float32))
+        cp = jnp.asarray(cam.position.astype(np.float32))
+        args = (jnp.asarray(disp), positions, uvs, tris, vp, cp)
+        full, fz = rr._rasterize_pool(*args, W, H, rr._auto_pool(W, H), 64,
+                                      interp, gs, None, 1, scales, tiles)
+        bands, bz = [], []
+        bh = H // 4
+        for k in range(4):
+            img, z = rr._rasterize_pool(*args, W, bh, rr._auto_pool(W, bh),
+                                        64, interp, gs, None, 1, scales,
+                                        tiles, y_origin=k * bh,
+                                        full_height=H)
+            bands.append(np.asarray(img))
+            bz.append(np.asarray(z))
+        np.testing.assert_array_equal(np.concatenate(bands, 0),
+                                      np.asarray(full), err_msg=f"{pos}")
+        np.testing.assert_array_equal(np.concatenate(bz, 0),
+                                      np.asarray(fz), err_msg=f"{pos}")
+
+
 def test_pool_overflow_spills_to_gather_pass(disp64):
     """A deliberately tiny pool pushes the largest triangles into the
     gather pass; with enough giant slots the output is unchanged."""

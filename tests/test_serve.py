@@ -226,8 +226,10 @@ def test_oversize_viewport_falls_back(server, monkeypatch):
 
 
 def test_serve_with_mesh_renders():
-    """The sharded-service branch (mesh != None) of frame_png: fields
-    gather to host and render through the f32 API path."""
+    """The sharded-service branch (mesh != None) of frame_png: band-height
+    viewports render band-parallel over the mesh (one fused dispatch,
+    bit-equal to single-chip — parallel/render.py); a height the row axis
+    does not divide falls back to the host-gathered f32 path."""
     import jax
 
     from gfx_ocean_tpu.models.ocean import downsample_state
@@ -244,6 +246,10 @@ def test_serve_with_mesh_renders():
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         code, body, ctype = _get(base + "/frame.jpg?t=1.0&w=64&h=48")
         assert code == 200 and ctype == "image/jpeg" and body[:2] == b"\xff\xd8"
+        assert (64, 48, 512) in srv.service._renderers  # band-parallel path
+        code, body, ctype = _get(base + "/frame.jpg?t=1.0&w=64&h=47")
+        assert code == 200 and body[:2] == b"\xff\xd8"  # 47 % 4 -> f32 path
+        assert (64, 47, 512) not in srv.service._renderers
         m = json.loads(_get(base + "/metrics")[1])
         assert m["mesh"] == {"batch": 1, "row": 4}
     finally:

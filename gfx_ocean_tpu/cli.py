@@ -345,9 +345,31 @@ def cmd_render(args) -> int:
     vps = np.stack(vps)
     cps = np.stack(cps)
     ts = (args.t0 + np.arange(args.frames) * args.dt).astype(np.float32)
-    renderer = make_batch_renderer(config, width=args.width,
-                                   height=args.height)
+    mesh_arg = _parse_mesh_arg(args)
     chunk = max(1, min(args.frames, 16))
+    if mesh_arg is not None:
+        # Frames data-parallel over "batch" x viewport bands over "row"
+        # (parallel/render.py; bit-equal to the single-chip renderer).
+        import jax
+
+        from gfx_ocean_tpu.parallel.render import make_sharded_batch_renderer
+        from gfx_ocean_tpu.parallel.sharding import make_mesh
+
+        batch, row = mesh_arg
+        if batch * row > len(jax.devices()):
+            raise SystemExit(f"--mesh {batch},{row} wants {batch * row} "
+                             f"devices; only {len(jax.devices())} visible")
+        if args.height % row:
+            raise SystemExit(f"--mesh row={row} must divide --height "
+                             f"{args.height} (viewport bands)")
+        mesh = make_mesh(jax.devices()[: batch * row], batch=batch, row=row)
+        renderer = make_sharded_batch_renderer(config, mesh,
+                                               width=args.width,
+                                               height=args.height)
+        chunk = -(-chunk // batch) * batch   # tail pads to a full chunk
+    else:
+        renderer = make_batch_renderer(config, width=args.width,
+                                       height=args.height)
     pil_image = None
     try:
         from PIL import Image as pil_image  # noqa: PLC0415, N813

@@ -15,6 +15,12 @@ sort cost is n log n in the band's hit count — D bands of n/D hits cost
 (n/D) log(n/D) each, in parallel. The sim step is replicated per device
 (it is ~1% of a 1200x700 frame; replicating it avoids an all_gather of
 the displacement map on the frame's critical path).
+
+For OFFLINE frame production, ``make_sharded_batch_renderer`` adds the
+orthogonal axis: frames data-parallel over the mesh (the sim is stateless
+in time, so frames are independent — the multi-chip generalization of the
+reference's 3 frames in flight, ``src/lib.rs:86``), composable with the
+band split on a 2-D mesh.
 """
 
 from __future__ import annotations
@@ -30,6 +36,50 @@ from gfx_ocean_tpu.config import OceanConfig
 from gfx_ocean_tpu.models.ocean import OceanState, step as _ocean_step
 from gfx_ocean_tpu.render.raster import (_auto_pool, _interp_matrices,
                                          _mesh_constants, _rasterize_pool)
+
+
+def _band_frame_fn(config: OceanConfig, width: int, height: int,
+                   giants: int, pool: int | None, band_axis: str,
+                   n_bands: int):
+    """One fused step -> band rasterize -> sRGB body for the device's
+    band (``jax.lax.axis_index(band_axis)`` picks the rows). Shared by
+    the interactive and batched sharded renderers — the multi-chip twin
+    of ``render.raster._fused_frame_fn``."""
+    if height % n_bands:
+        raise ValueError(
+            f"height {height} must divide into mesh axis {band_axis!r} "
+            f"({n_bands} bands); pad the viewport or re-shape the mesh")
+    band_h = height // n_bands
+    config = dataclasses.replace(config, compute_normals=False)
+    positions, uvs, tris = _mesh_constants(config.mesh_resolution,
+                                           config.num_patches)
+    if config.num_cascades > 1:
+        tiles = tuple(float(config.domains[0] / d) for d in config.domains)
+        interp = tuple(_interp_matrices(config.mesh_resolution,
+                                        config.resolution, t) for t in tiles)
+    else:
+        tiles = None
+        interp = _interp_matrices(config.mesh_resolution, config.resolution)
+    band_pool = pool or _auto_pool(width, band_h)
+
+    def band_fn(state, t, view_proj, camera_pos):
+        fields = _ocean_step(state, t, config)
+        y0 = jax.lax.axis_index(band_axis) * band_h
+        img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
+                                 view_proj, camera_pos, width, band_h,
+                                 band_pool, giants, interp,
+                                 (config.num_patches, config.mesh_resolution),
+                                 fields.foam if config.compute_foam else None,
+                                 0 if config.compat.frag_normal_x else 1,
+                                 (float(config.height_div),
+                                  float(config.horiz_div),
+                                  float(config.normal_height_scale),
+                                  float(config.pbr_roughness)),
+                                 tiles, y_origin=y0, full_height=height)
+        return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0
+                ).astype(jnp.uint8)
+
+    return band_fn
 
 
 def make_sharded_frame_renderer(
@@ -54,41 +104,8 @@ def make_sharded_frame_renderer(
     (``perspective(width / height)``), exactly as for the single-chip
     renderer — bands crop the sample grid, not the projection.
     """
-    n_bands = mesh.shape[axis]
-    if height % n_bands:
-        raise ValueError(
-            f"height {height} must divide into mesh axis {axis!r} "
-            f"({n_bands} bands); pad the viewport or re-shape the mesh")
-    band_h = height // n_bands
-    config = dataclasses.replace(config, compute_normals=False)
-    positions, uvs, tris = _mesh_constants(config.mesh_resolution,
-                                           config.num_patches)
-    if config.num_cascades > 1:
-        tiles = tuple(float(config.domains[0] / d) for d in config.domains)
-        interp = tuple(_interp_matrices(config.mesh_resolution,
-                                        config.resolution, t) for t in tiles)
-    else:
-        tiles = None
-        interp = _interp_matrices(config.mesh_resolution, config.resolution)
-    band_pool = pool or _auto_pool(width, band_h)
-
-    def band_fn(state, t, view_proj, camera_pos):
-        fields = _ocean_step(state, t, config)
-        y0 = jax.lax.axis_index(axis) * band_h
-        img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
-                                 view_proj, camera_pos, width, band_h,
-                                 band_pool, giants, interp,
-                                 (config.num_patches, config.mesh_resolution),
-                                 fields.foam if config.compute_foam else None,
-                                 0 if config.compat.frag_normal_x else 1,
-                                 (float(config.height_div),
-                                  float(config.horiz_div),
-                                  float(config.normal_height_scale),
-                                  float(config.pbr_roughness)),
-                                 tiles, y_origin=y0, full_height=height)
-        return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0
-                ).astype(jnp.uint8)
-
+    band_fn = _band_frame_fn(config, width, height, giants, pool, axis,
+                             mesh.shape[axis])
     rep = P()
     state_specs = OceanState(h0=rep, omega=rep)
     # check_vma=False: the band body calls the jitted _rasterize_pool,
@@ -99,3 +116,47 @@ def make_sharded_frame_renderer(
                    in_specs=(state_specs, rep, rep, rep),
                    out_specs=P(axis), check_vma=False)
     return jax.jit(fn)
+
+
+def make_sharded_batch_renderer(
+    config: OceanConfig,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    giants: int = 512,
+    pool: int | None = None,
+    frame_axis: str = "batch",
+    band_axis: str = "row",
+):
+    """Offline frame production over the WHOLE mesh: frames data-parallel
+    over ``frame_axis`` x viewport bands over ``band_axis``.
+
+    Returns ``fn(state, ts, view_projs, camera_pos) -> (F, height, width,
+    3) uint8`` with F sharded over ``frame_axis`` and rows over
+    ``band_axis``; F must divide by ``mesh[frame_axis]`` (the CLI pads
+    its ragged tail chunk, ``cli.py cmd_render``). Bit-equal to
+    ``render.raster.make_batch_renderer`` on one chip.
+    """
+    band_fn = _band_frame_fn(config, width, height, giants, pool, band_axis,
+                             mesh.shape[band_axis])
+    n_fp = mesh.shape[frame_axis]
+
+    def local(state, ts, vps, cps):
+        return jax.vmap(band_fn, in_axes=(None, 0, 0, 0))(state, ts, vps, cps)
+
+    rep = P()
+    state_specs = OceanState(h0=rep, omega=rep)
+    fspec = P(frame_axis)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(state_specs, fspec, fspec, fspec),
+                   out_specs=P(frame_axis, band_axis), check_vma=False)
+    jfn = jax.jit(fn)
+
+    def call(state, ts, vps, cps):
+        if ts.shape[0] % n_fp:
+            raise ValueError(
+                f"frame count {ts.shape[0]} must divide by mesh axis "
+                f"{frame_axis!r} ({n_fp}); pad the chunk")
+        return jfn(state, ts, vps, cps)
+
+    return call

@@ -891,7 +891,11 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
                   width: int, height: int, pool: int | None = None) -> int:
     """Diagnostic: how many visible triangles spill past the pool (each
     must be absorbed by a gather-pass slot for exact coverage). Sized so
-    this is 0 for realistic scenes; tests assert it."""
+    this is 0 for realistic scenes; tests assert it.
+
+    Diagnostic ONLY — it runs eagerly per call with jnp.sort/jnp.cumsum
+    (not the production path's sort-carried tables / MXU prefix sums) and
+    is meant for sizing/debugging, never inside a frame loop."""
     _, clip = _vertex_stage(jnp.asarray(displacement), jnp.asarray(positions),
                             jnp.asarray(uvs), jnp.asarray(view_proj))
     v_clip = clip[jnp.asarray(tris)]

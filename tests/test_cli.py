@@ -74,6 +74,21 @@ def test_cli_render(tmp_path, capsys):
     assert np.isfinite(img).all()
 
 
+def test_cli_render_mesh(tmp_path, capsys):
+    """render --mesh B,R: frames DP x viewport bands, same frames as the
+    single-chip path (bit-equal renderers; tested in test_parallel)."""
+    out1 = str(tmp_path / "f1")
+    outm = str(tmp_path / "fm")
+    common = ["render", *BASE, "--frames", "3", "--width", "64",
+              "--height", "48", "--keys", "w"]
+    assert main([*common, "--out", out1]) == 0
+    assert main([*common, "--mesh", "2,4", "--out", outm]) == 0
+    for j in range(3):
+        a = np.load(os.path.join(out1, f"frame_{j:05d}.npy"))
+        b = np.load(os.path.join(outm, f"frame_{j:05d}.npy"))
+        assert np.array_equal(a, b)
+
+
 def test_cli_render_zero_frames(tmp_path, capsys):
     """--frames 0 renders nothing and exits 0 (no np.stack of an empty
     camera path)."""

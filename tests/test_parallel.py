@@ -280,3 +280,31 @@ def test_sharded_frame_renderer_validates_height(mesh8):
     with pytest.raises(ValueError, match="height"):
         make_sharded_frame_renderer(OceanConfig(resolution=64), mesh8,
                                     96, 50, axis="row")   # 50 % 4 != 0
+
+
+def test_sharded_batch_renderer_bit_equal(mesh8):
+    """Offline production split: frames DP over 'batch' x bands over
+    'row' — bit-equal to the single-chip batched renderer."""
+    from gfx_ocean_tpu.models.ocean import (downsample_state,
+                                            ocean_state_from_assets)
+    from gfx_ocean_tpu.parallel.render import make_sharded_batch_renderer
+    from gfx_ocean_tpu.render.camera import Camera, perspective, scripted_camera
+    from gfx_ocean_tpu.render.raster import make_batch_renderer
+
+    cfg = OceanConfig(resolution=64, mesh_resolution=32)
+    state = downsample_state(ocean_state_from_assets(), 64)
+    W, H = 96, 64
+    proj = perspective(W / H)
+    cams = [c for _, c in scripted_camera([(4, ["w"])], dt=0.2)]
+    vps = jnp.asarray(np.stack([(proj @ c.view()).astype(np.float32)
+                                for c in cams]))
+    cps = jnp.asarray(np.stack([c.position.astype(np.float32)
+                                for c in cams]))
+    ts = jnp.arange(4, dtype=jnp.float32) * 0.5
+    want = np.asarray(make_batch_renderer(cfg, W, H, giants=64)(
+        state, ts, vps, cps))
+    fn = make_sharded_batch_renderer(cfg, mesh8, W, H, giants=64)
+    got = np.asarray(fn(state, ts, vps, cps))
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="frame count"):
+        fn(state, ts[:3], vps[:3], cps[:3])   # 3 % batch=2 != 0

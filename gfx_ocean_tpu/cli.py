@@ -61,9 +61,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--amplitude", type=float, default=3.0e-7)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=str, default=None, metavar="BATCH,ROW",
-                   help="run on a (batch, row) device mesh, e.g. --mesh 2,4: "
-                        "'batch' data-parallels cascades/patches, 'row' "
-                        "shards grid rows (distributed FFT over ICI)")
+                   help="run on a (batch, row) device mesh, e.g. --mesh 2,4. "
+                        "simulate/bench/serve: 'batch' data-parallels "
+                        "cascades/patches, 'row' shards grid rows "
+                        "(distributed FFT over ICI). render: 'batch' "
+                        "data-parallels FRAMES and 'row' splits the "
+                        "viewport into horizontal bands (row must divide "
+                        "--height); serve renders in viewport bands too "
+                        "(row must divide the viewport height)")
     p.add_argument("--sharded-fft", choices=("gspmd", "shard_map"),
                    default="gspmd",
                    help="multi-chip FFT strategy: XLA-inserted collectives "

@@ -25,61 +25,25 @@ band split on a 2-D mesh.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
-import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gfx_ocean_tpu.config import OceanConfig
-from gfx_ocean_tpu.models.ocean import OceanState, step as _ocean_step
-from gfx_ocean_tpu.render.raster import (_auto_pool, _interp_matrices,
-                                         _mesh_constants, _rasterize_pool)
+from gfx_ocean_tpu.models.ocean import OceanState
+from gfx_ocean_tpu.render.raster import _fused_frame_fn
 
 
 def _band_frame_fn(config: OceanConfig, width: int, height: int,
                    giants: int, pool: int | None, band_axis: str,
                    n_bands: int):
     """One fused step -> band rasterize -> sRGB body for the device's
-    band (``jax.lax.axis_index(band_axis)`` picks the rows). Shared by
-    the interactive and batched sharded renderers — the multi-chip twin
-    of ``render.raster._fused_frame_fn``."""
-    if height % n_bands:
-        raise ValueError(
-            f"height {height} must divide into mesh axis {band_axis!r} "
-            f"({n_bands} bands); pad the viewport or re-shape the mesh")
-    band_h = height // n_bands
-    config = dataclasses.replace(config, compute_normals=False)
-    positions, uvs, tris = _mesh_constants(config.mesh_resolution,
-                                           config.num_patches)
-    if config.num_cascades > 1:
-        tiles = tuple(float(config.domains[0] / d) for d in config.domains)
-        interp = tuple(_interp_matrices(config.mesh_resolution,
-                                        config.resolution, t) for t in tiles)
-    else:
-        tiles = None
-        interp = _interp_matrices(config.mesh_resolution, config.resolution)
-    band_pool = pool or _auto_pool(width, band_h)
-
-    def band_fn(state, t, view_proj, camera_pos):
-        fields = _ocean_step(state, t, config)
-        y0 = jax.lax.axis_index(band_axis) * band_h
-        img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
-                                 view_proj, camera_pos, width, band_h,
-                                 band_pool, giants, interp,
-                                 (config.num_patches, config.mesh_resolution),
-                                 fields.foam if config.compute_foam else None,
-                                 0 if config.compat.frag_normal_x else 1,
-                                 (float(config.height_div),
-                                  float(config.horiz_div),
-                                  float(config.normal_height_scale),
-                                  float(config.pbr_roughness)),
-                                 tiles, y_origin=y0, full_height=height)
-        return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0
-                ).astype(jnp.uint8)
-
-    return band_fn
+    band (``jax.lax.axis_index(band_axis)`` picks the rows). This IS
+    the single-chip ``render.raster._fused_frame_fn`` with the band
+    parameters set — one body, so the sharded/single-chip BIT-equality
+    contract can't drift."""
+    return _fused_frame_fn(config, width, height, giants, pool,
+                           band_axis=band_axis, n_bands=n_bands)
 
 
 def make_sharded_frame_renderer(

@@ -1181,14 +1181,25 @@ def make_frame_renderer(
 
 
 def _fused_frame_fn(config, width: int, height: int, giants: int,
-                    pool: int | None):
+                    pool: int | None, band_axis: str | None = None,
+                    n_bands: int = 1):
     """The unjitted fused step -> rasterize -> sRGB body shared by the
-    interactive renderer (``make_frame_renderer``) and the batched CLI
-    renderer (``make_batch_renderer``)."""
+    interactive renderer (``make_frame_renderer``), the batched CLI
+    renderer (``make_batch_renderer``), and — with ``band_axis`` set —
+    the multi-chip band renderers (``parallel/render.py``), where each
+    device rasterizes the ``height // n_bands``-row horizontal band
+    selected by ``jax.lax.axis_index(band_axis)``. Band pixels sample
+    f32-identical NDC centers to the full frame, so the single- and
+    multi-chip outputs are BIT-equal by construction."""
     import dataclasses  # noqa: PLC0415
 
     from gfx_ocean_tpu.models.ocean import step as _ocean_step  # noqa: PLC0415
 
+    if band_axis is not None and height % n_bands:
+        raise ValueError(
+            f"height {height} must divide into mesh axis {band_axis!r} "
+            f"({n_bands} bands); pad the viewport or re-shape the mesh")
+    band_h = height // n_bands if band_axis is not None else height
     # The rasterizer derives fragment normals from the displacement
     # texture itself (shade.fragment_normals); the sim step's vertex
     # normals are dead weight in this pipeline.
@@ -1206,9 +1217,11 @@ def _fused_frame_fn(config, width: int, height: int, giants: int,
     def fn(state, t, view_proj, camera_pos):
         fields = _ocean_step(state, t, config)
         foam = fields.foam if config.compute_foam else None
+        y0 = (0 if band_axis is None
+              else jax.lax.axis_index(band_axis) * band_h)
         img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
-                                 view_proj, camera_pos, width, height,
-                                 pool or _auto_pool(width, height), giants,
+                                 view_proj, camera_pos, width, band_h,
+                                 pool or _auto_pool(width, band_h), giants,
                                  interp,
                                  (config.num_patches, config.mesh_resolution),
                                  foam,
@@ -1217,7 +1230,7 @@ def _fused_frame_fn(config, width: int, height: int, giants: int,
                                   float(config.horiz_div),
                                   float(config.normal_height_scale),
                                   float(config.pbr_roughness)),
-                                 tiles)
+                                 tiles, y_origin=y0, full_height=height)
         # sRGB encode on device (matches the host-side conversion in
         # serve.py / cli.py render: gamma 1/2.2, truncating cast).
         return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(jnp.uint8)

@@ -73,8 +73,18 @@ class FrameService:
 
             self._step = make_sharded_step(config, mesh, batched=False,
                                            fft=sharded_fft)
+            # The band renderers take a REPLICATED state (in_specs P());
+            # feeding them the row-sharded simulation state would make
+            # XLA all_gather h0/omega on EVERY frame dispatch. Replicate
+            # once here instead — the state never changes between frames.
+            import jax  # noqa: PLC0415
+            from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+            self._render_state = jax.device_put(
+                state, NamedSharding(mesh, PartitionSpec()))
         else:
             self._step = make_step(config)
+            self._render_state = state
         self._lock = threading.Lock()
         self._meter_lock = threading.Lock()   # counters/EMA: cheap, atomic
         # (w, h, giants) -> fused step+render+sRGB jit. Bounded: the key
@@ -157,7 +167,7 @@ class FrameService:
                 cam = Camera()
                 vp = (perspective(width / height) @ cam.view()).astype(
                     np.float32)
-                fn(self.state, jnp.float32(0.0), jnp.asarray(vp),
+                fn(self._render_state, jnp.float32(0.0), jnp.asarray(vp),
                    jnp.asarray(cam.position.astype(np.float32)))  # compile
                 with self._cache_lock:
                     while len(self._renderers) >= self._renderers_max:
@@ -208,7 +218,8 @@ class FrameService:
                 view_proj = (perspective(width / height)
                              @ camera.view()).astype(np.float32)
                 srgb_dev = fn(
-                    self.state, jnp.float32(t), jnp.asarray(view_proj),
+                    self._render_state, jnp.float32(t),
+                    jnp.asarray(view_proj),
                     jnp.asarray(camera.position.astype(np.float32)))
             # Transfer OUTSIDE the lock: jax dispatch is async and the
             # device queue is in-order, so the next request's compute

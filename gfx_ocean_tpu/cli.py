@@ -380,6 +380,9 @@ def cmd_render(args) -> int:
         from PIL import Image as pil_image  # noqa: PLC0415, N813
     except ImportError:
         pass
+    if getattr(args, "gif", None) and pil_image is None:
+        raise SystemExit("--gif needs Pillow (PIL) installed")
+    gif_frames = []
     for start in range(0, args.frames, chunk):
         end = min(start + chunk, args.frames)
         pad = chunk - (end - start)
@@ -396,6 +399,15 @@ def cmd_render(args) -> int:
             np.save(path + ".npy", srgb[j])
             if pil_image is not None:
                 pil_image.fromarray(srgb[j]).save(path + ".png")
+            if getattr(args, "gif", None):
+                gif_frames.append(pil_image.fromarray(srgb[j]))
+    if gif_frames:
+        # GIF timestamps are in whole milliseconds; sub-ms dt rounds to
+        # the nearest frame duration (10 ms floor keeps viewers honest).
+        gif_frames[0].save(
+            args.gif, save_all=True, append_images=gif_frames[1:],
+            duration=max(10, round(args.dt * 1000)), loop=0)
+        print(f"wrote {args.gif} ({len(gif_frames)} frames)")
     print(f"rendered {args.frames} frames to {args.out} "
           f"(sRGB uint8, chunked x{chunk})")
     return 0
@@ -474,6 +486,10 @@ def main(argv=None) -> int:
     p.add_argument("--keys", type=str, default="",
                    help="comma-separated held keys (w,s,left,right,up,down)")
     p.add_argument("--out", type=str, default="frames")
+    p.add_argument("--gif", type=str, default=None, metavar="PATH",
+                   help="also write the frames as one animated GIF at "
+                        "the camera script's frame rate (the shippable "
+                        "analog of the reference README's demo video)")
     p.set_defaults(fn=cmd_render)
 
     args = parser.parse_args(argv)

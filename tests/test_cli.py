@@ -89,6 +89,28 @@ def test_cli_render_mesh(tmp_path, capsys):
         assert np.array_equal(a, b)
 
 
+def test_cli_render_gif(tmp_path, capsys):
+    """--gif writes one animated GIF whose frames decode back to the
+    rendered frame shapes (PIL round trip)."""
+    from PIL import Image
+
+    out = str(tmp_path / "frames")
+    gif = str(tmp_path / "ocean.gif")
+    assert main(["render", *BASE, "--frames", "3", "--width", "64",
+                 "--height", "48", "--keys", "w", "--out", out,
+                 "--gif", gif]) == 0
+    with Image.open(gif) as im:
+        assert im.n_frames == 3
+        assert im.size == (64, 48)
+        im.seek(2)
+        frame = np.asarray(im.convert("RGB"))
+    assert frame.shape == (48, 64, 3)
+    # GIF is palettized (256 colors); require the decoded frame to be
+    # close to the rendered one, not bit-equal.
+    ref = np.load(os.path.join(out, "frame_00002.npy")).astype(np.int32)
+    assert np.abs(frame.astype(np.int32) - ref).mean() < 8.0
+
+
 def test_cli_render_zero_frames(tmp_path, capsys):
     """--frames 0 renders nothing and exits 0 (no np.stack of an empty
     camera path)."""

@@ -60,6 +60,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--wind-dir", type=float, nargs=2, default=(1.0, 0.0))
     p.add_argument("--amplitude", type=float, default=3.0e-7)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--spectrum-model", choices=("phillips", "jonswap"),
+                   default="phillips",
+                   help="synthesis spectrum: classic Phillips, or the "
+                        "fetch-limited JONSWAP (Hasselmann et al. 1973), "
+                        "peak-normalized to the Phillips scale")
+    p.add_argument("--fetch", type=float, default=5.0e5,
+                   help="JONSWAP fetch length in meters")
+    p.add_argument("--peak-enhancement", type=float, default=3.3,
+                   help="JONSWAP gamma (1.0 = Pierson-Moskowitz shape)")
     p.add_argument("--mesh", type=str, default=None, metavar="BATCH,ROW",
                    help="run on a (batch, row) device mesh, e.g. --mesh 2,4. "
                         "simulate/bench/serve: 'batch' data-parallels "
@@ -102,10 +111,16 @@ def _build(args):
         wind_speed=args.wind_speed,
         wind_direction=tuple(args.wind_dir),
         seed=args.seed,
+        model=args.spectrum_model,
+        fetch=args.fetch,
+        peak_enhancement=args.peak_enhancement,
     )
     if args.phillips or args.cascades > 1:
         state = ocean_state_from_phillips(config, phillips)
     else:
+        if args.spectrum_model != "phillips":
+            raise SystemExit("--spectrum-model only applies to synthesized "
+                             "initial conditions; add --phillips")
         state = ocean_state_from_assets(args.spectrum, args.omega, resolution=None)
         n = state.h0.shape[-1]
         if n != config.resolution:

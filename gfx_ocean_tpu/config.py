@@ -188,3 +188,19 @@ class PhillipsConfig:
     # Exponent on the directional term |k_hat . w_hat|; 2 is classic Phillips.
     directional_power: float = 2.0
     seed: int = 0
+    # Spectrum model: classic "phillips", or "jonswap" — the fetch-limited
+    # Hasselmann et al. 1973 frequency spectrum converted to the wave-vector
+    # domain (spectra/phillips.py:jonswap_spectrum), peak-normalized to the
+    # Phillips scale so states drop into the same step()/render scalings.
+    model: str = "phillips"
+    # JONSWAP fetch length F in meters (distance the wind has blown over).
+    fetch: float = 5.0e5
+    # JONSWAP peak-enhancement factor gamma (1.0 = Pierson-Moskowitz shape).
+    peak_enhancement: float = 3.3
+
+    def __post_init__(self):
+        if self.model not in ("phillips", "jonswap"):
+            raise ValueError(f"unknown spectrum model {self.model!r} "
+                             "(expected 'phillips' or 'jonswap')")
+        if self.model == "jonswap" and not (self.fetch > 0):
+            raise ValueError(f"jonswap fetch must be > 0, got {self.fetch}")

@@ -1,3 +1,5 @@
-from .phillips import dispersion, phillips_spectrum, synthesize
+from .phillips import (dispersion, jonswap_spectrum, phillips_spectrum,
+                       spectrum, synthesize)
 
-__all__ = ["dispersion", "phillips_spectrum", "synthesize"]
+__all__ = ["dispersion", "jonswap_spectrum", "phillips_spectrum", "spectrum",
+           "synthesize"]

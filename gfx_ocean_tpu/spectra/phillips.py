@@ -73,6 +73,71 @@ def phillips_spectrum(n: int, domain_size: float, cfg: PhillipsConfig) -> np.nda
     return np.where(safe, p, 0.0)
 
 
+def jonswap_spectrum(n: int, domain_size: float, cfg: PhillipsConfig) -> np.ndarray:
+    """JONSWAP wave-vector spectrum on the centered grid, float64 (N, N).
+
+    The fetch-limited frequency spectrum of Hasselmann et al. 1973:
+
+        S(w)  = alpha g^2 / w^5 * exp(-5/4 (wp/w)^4) * gamma^r
+        r     = exp(-(w - wp)^2 / (2 sigma^2 wp^2)),  sigma = 0.07 (w <= wp)
+                                                              0.09 (w >  wp)
+        alpha = 0.076 (U^2 / (F g))^0.22
+        wp    = 22 (g^2 / (U F))^(1/3)
+
+    converted to the wave-vector domain through deep-water dispersion
+    (``P(k) = S(w(k)) * D(k_hat) * (dw/dk) / k`` with ``dw/dk = g/(2w)``,
+    the standard graphics conversion — Horvath, "Empirical directional
+    wave spectra for computer graphics", 2015), using this module's
+    ``|k_hat . w_hat|^p`` directional factor and small-wave cutoff.
+
+    The overall magnitude is PEAK-NORMALIZED to the classic Phillips
+    spectrum at the same (amplitude, wind): the reference's unnormalized
+    inverse FFT (SURVEY.md Q3) makes the absolute scale a free visual
+    choice absorbed by the /3.0, /3.5, height_scale render scalings, so
+    matching the Phillips peak lets JONSWAP states drop into the same
+    ``step()`` and render pipeline without retuning. The SHAPE (peak
+    sharpness gamma, fetch-limited low-k rolloff) is what the model adds.
+    """
+    kxg, kyg, k_len = _k_grids(n, domain_size)
+    g = cfg.gravity
+    u, fetch, gamma = cfg.wind_speed, cfg.fetch, cfg.peak_enhancement
+    wd = np.asarray(cfg.wind_direction, dtype=np.float64)
+    wd = wd / np.linalg.norm(wd)
+
+    safe = k_len > 1.0e-8
+    k_safe = np.where(safe, k_len, 1.0)
+    w = np.sqrt(g * k_safe)
+    wp = 22.0 * (g * g / (u * fetch)) ** (1.0 / 3.0)
+    alpha = 0.076 * (u * u / (fetch * g)) ** 0.22
+    sigma = np.where(w <= wp, 0.07, 0.09)
+    r = np.exp(-((w - wp) ** 2) / (2.0 * sigma ** 2 * wp ** 2))
+    s_w = (alpha * g * g / w ** 5
+           * np.exp(-1.25 * (wp / w) ** 4)
+           * gamma ** r)
+
+    k_hat_dot_w = (kxg * wd[0] + kyg * wd[1]) / k_safe
+    directional = np.abs(k_hat_dot_w) ** cfg.directional_power
+    small_l = cfg.small_wave_cutoff * domain_size / n
+    dw_dk = g / (2.0 * w)
+    p = np.where(
+        safe,
+        s_w * directional * dw_dk / k_safe
+        * np.exp(-(k_safe ** 2) * small_l ** 2),
+        0.0,
+    )
+    peak = p.max()
+    if peak > 0.0:
+        p = p * (phillips_spectrum(n, domain_size, cfg).max() / peak)
+    return p
+
+
+def spectrum(n: int, domain_size: float, cfg: PhillipsConfig) -> np.ndarray:
+    """The configured model's P(k): ``cfg.model`` picks phillips/jonswap."""
+    if cfg.model == "jonswap":
+        return jonswap_spectrum(n, domain_size, cfg)
+    return phillips_spectrum(n, domain_size, cfg)
+
+
 def synthesize(
     n: int,
     domain_size: float,
@@ -85,9 +150,9 @@ def synthesize(
     (re, im)-planes convention of ``utils/complexpair.py`` — and ``omega``
     float32 (N, N). The Gaussian draw uses jax.random (reproducible,
     device-side); the spectrum envelope is built in float64 on host and
-    rounded once.
+    rounded once. ``cfg.model`` selects the envelope (phillips/jonswap).
     """
-    p = jnp.asarray(np.sqrt(phillips_spectrum(n, domain_size, cfg) / 2.0).astype(np.float32))
+    p = jnp.asarray(np.sqrt(spectrum(n, domain_size, cfg) / 2.0).astype(np.float32))
     kr, ki = jax.random.split(key)
     xi_r = jax.random.normal(kr, (n, n), dtype=jnp.float32)
     xi_i = jax.random.normal(ki, (n, n), dtype=jnp.float32)

@@ -49,6 +49,88 @@ def test_phillips_directionality():
     assert along > 100 * across
 
 
+def test_jonswap_spectrum_properties():
+    """Shape properties of the JONSWAP wave-vector spectrum: finite,
+    nonnegative, zero at DC, peaked near k_p = w_p^2 / g (deep-water
+    dispersion of the Hasselmann et al. peak frequency), and
+    peak-normalized to the Phillips scale at the same parameters."""
+    from gfx_ocean_tpu.spectra.phillips import jonswap_spectrum
+
+    n, L = 256, 4000.0
+    cfg = PhillipsConfig(model="jonswap")
+    p = jonswap_spectrum(n, L, cfg)
+    assert p.shape == (n, n)
+    assert np.all(np.isfinite(p)) and np.all(p >= 0)
+    # fetch-limited low-k rolloff: the near-DC texel (the centered even
+    # grid has no exact k=0) sits ~10 orders below the peak
+    mid = (n - 1) // 2
+    assert p[mid, mid] < 1e-9 * p.max()
+    # peak wavenumber: w_p = 22 (g^2/(U F))^(1/3); k_p = w_p^2 / g.
+    g, u, fetch = cfg.gravity, cfg.wind_speed, cfg.fetch
+    wp = 22.0 * (g * g / (u * fetch)) ** (1.0 / 3.0)
+    kp = wp * wp / g
+    iy, ix = np.unravel_index(np.argmax(p), p.shape)
+    kx = np.pi * (2 * ix - n - 1) / L
+    ky = np.pi * (2 * iy - n - 1) / L
+    k_at_peak = np.hypot(kx, ky)
+    dk = 2 * np.pi / L
+    # peak along-wind within a few grid cells of k_p (directional factor
+    # shifts it slightly above the omnidirectional peak)
+    assert abs(k_at_peak - kp) < 4 * dk
+    # peak-normalized to Phillips at the same (amplitude, wind)
+    assert np.isclose(p.max(), phillips_spectrum(n, L, cfg).max())
+
+
+def test_jonswap_gamma_sharpens_peak():
+    """gamma > 1 concentrates energy at the peak: the fraction of total
+    spectral mass inside a band around k_p is strictly higher at
+    gamma = 3.3 than at gamma = 1 (Pierson-Moskowitz shape)."""
+    from gfx_ocean_tpu.spectra.phillips import jonswap_spectrum
+
+    n, L = 256, 4000.0
+    pm = jonswap_spectrum(n, L, PhillipsConfig(model="jonswap",
+                                               peak_enhancement=1.0))
+    js = jonswap_spectrum(n, L, PhillipsConfig(model="jonswap",
+                                               peak_enhancement=3.3))
+    cfg = PhillipsConfig(model="jonswap")
+    g, u, fetch = cfg.gravity, cfg.wind_speed, cfg.fetch
+    wp = 22.0 * (g * g / (u * fetch)) ** (1.0 / 3.0)
+    kp = wp * wp / g
+    i = np.arange(n)
+    kx = np.pi * (2 * i[None, :] - n - 1) / L
+    ky = np.pi * (2 * i[:, None] - n - 1) / L
+    band = np.abs(np.hypot(kx, ky) - kp) < 0.5 * kp
+    conc_pm = pm[band].sum() / pm.sum()
+    conc_js = js[band].sum() / js.sum()
+    assert conc_js > conc_pm * 1.05
+    # peak-normalization gives both the same maximum
+    assert np.isclose(js.max(), pm.max())
+
+
+def test_jonswap_state_runs_end_to_end():
+    cfg = ot.OceanConfig(resolution=128, compute_normals=False)
+    state = ocean_state_from_phillips(
+        cfg, PhillipsConfig(model="jonswap", seed=3))
+    out = ot.make_step(cfg)(state, jnp.float32(4.0))
+    d = np.asarray(out.displacement)
+    assert d.shape == (128, 128, 3)
+    assert np.all(np.isfinite(d))
+    assert np.abs(d[..., 1]).max() > 1e-3
+    # magnitude commensurate with the Phillips state (peak normalization):
+    # same render scalings must apply
+    ph = ocean_state_from_phillips(cfg, PhillipsConfig(seed=3))
+    dp = np.asarray(ot.make_step(cfg)(ph, jnp.float32(4.0)).displacement)
+    r = np.abs(d[..., 1]).max() / np.abs(dp[..., 1]).max()
+    assert 0.05 < r < 20.0
+
+
+def test_jonswap_config_validation():
+    with pytest.raises(ValueError):
+        PhillipsConfig(model="tma")
+    with pytest.raises(ValueError):
+        PhillipsConfig(model="jonswap", fetch=0.0)
+
+
 def test_synthesize_reproducible_and_hermitian_stats():
     key = jax.random.PRNGKey(7)
     h0a, oma = synthesize(64, 1000.0, PhillipsConfig(), key)

@@ -69,6 +69,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="JONSWAP fetch length in meters")
     p.add_argument("--peak-enhancement", type=float, default=3.3,
                    help="JONSWAP gamma (1.0 = Pierson-Moskowitz shape)")
+    p.add_argument("--depth", type=float, default=float("inf"),
+                   help="water depth in meters: finite values use the "
+                        "finite-depth dispersion w = sqrt(g k tanh(k h)) "
+                        "(long waves slow down); default deep water")
+    p.add_argument("--opposing-suppression", type=float, default=1.0,
+                   help="multiplier in [0, 1] on spectrum energy for "
+                        "waves moving against the wind (1 = classic "
+                        "symmetric |k.w|^p, 0 = upwind waves removed)")
     p.add_argument("--mesh", type=str, default=None, metavar="BATCH,ROW",
                    help="run on a (batch, row) device mesh, e.g. --mesh 2,4. "
                         "simulate/bench/serve: 'batch' data-parallels "
@@ -114,13 +122,19 @@ def _build(args):
         model=args.spectrum_model,
         fetch=args.fetch,
         peak_enhancement=args.peak_enhancement,
+        depth=args.depth,
+        opposing_suppression=args.opposing_suppression,
     )
     if args.phillips or args.cascades > 1:
         state = ocean_state_from_phillips(config, phillips)
     else:
-        if args.spectrum_model != "phillips":
-            raise SystemExit("--spectrum-model only applies to synthesized "
-                             "initial conditions; add --phillips")
+        if (args.spectrum_model != "phillips"
+                or not np.isinf(args.depth)
+                or args.opposing_suppression != 1.0):
+            raise SystemExit("--spectrum-model/--depth/"
+                             "--opposing-suppression only apply to "
+                             "synthesized initial conditions; add "
+                             "--phillips")
         state = ocean_state_from_assets(args.spectrum, args.omega, resolution=None)
         n = state.h0.shape[-1]
         if n != config.resolution:

@@ -197,6 +197,15 @@ class PhillipsConfig:
     fetch: float = 5.0e5
     # JONSWAP peak-enhancement factor gamma (1.0 = Pierson-Moskowitz shape).
     peak_enhancement: float = 3.3
+    # Water depth in meters: finite values switch the dispersion to
+    # w = sqrt(g k tanh(k h)) (intermediate/shallow water slows long
+    # waves); inf = the reference's deep-water w = sqrt(g k).
+    depth: float = float("inf")
+    # Multiplier on P(k) for waves moving AGAINST the wind
+    # (k_hat . w_hat < 0): 1.0 keeps the classic symmetric |dot|^p,
+    # smaller values damp opposing waves (Tessendorf's suppression of
+    # waves traveling upwind; 0 removes them entirely).
+    opposing_suppression: float = 1.0
 
     def __post_init__(self):
         if self.model not in ("phillips", "jonswap"):
@@ -204,3 +213,8 @@ class PhillipsConfig:
                              "(expected 'phillips' or 'jonswap')")
         if self.model == "jonswap" and not (self.fetch > 0):
             raise ValueError(f"jonswap fetch must be > 0, got {self.fetch}")
+        if not (self.depth > 0):
+            raise ValueError(f"depth must be > 0 (meters), got {self.depth}")
+        if not (0.0 <= self.opposing_suppression <= 1.0):
+            raise ValueError("opposing_suppression must be in [0, 1], got "
+                             f"{self.opposing_suppression}")

@@ -43,10 +43,34 @@ def _k_grids(n: int, domain_size: float) -> Tuple[np.ndarray, np.ndarray, np.nda
     )
 
 
-def dispersion(n: int, domain_size: float, gravity: float = 9.81) -> jnp.ndarray:
-    """Deep-water dispersion w(k) = sqrt(g |k|), (N, N) float32."""
+def dispersion(n: int, domain_size: float, gravity: float = 9.81,
+               depth: float = float("inf")) -> jnp.ndarray:
+    """Dispersion w(k), (N, N) float32.
+
+    Deep water (the reference's shipped ``omega.bin`` convention):
+    ``w = sqrt(g |k|)``. A finite ``depth`` h switches to the general
+    finite-depth relation ``w = sqrt(g |k| tanh(|k| h))`` — long waves
+    (k h << 1) slow toward the shallow-water limit ``|k| sqrt(g h)``
+    while short waves are unaffected (tanh -> 1)."""
     _, _, k_len = _k_grids(n, domain_size)
-    return jnp.asarray(np.sqrt(gravity * k_len).astype(np.float32))
+    if np.isinf(depth):
+        tanh = 1.0
+    else:
+        tanh = np.tanh(k_len * depth)
+    return jnp.asarray(np.sqrt(gravity * k_len * tanh).astype(np.float32))
+
+
+def _directional(kxg: np.ndarray, kyg: np.ndarray, k_safe: np.ndarray,
+                 cfg: PhillipsConfig) -> np.ndarray:
+    """|k_hat . w_hat|^p directional factor, with waves moving AGAINST
+    the wind (dot < 0) damped by ``cfg.opposing_suppression``."""
+    wd = np.asarray(cfg.wind_direction, dtype=np.float64)
+    wd = wd / np.linalg.norm(wd)
+    k_hat_dot_w = (kxg * wd[0] + kyg * wd[1]) / k_safe
+    d = np.abs(k_hat_dot_w) ** cfg.directional_power
+    if cfg.opposing_suppression != 1.0:
+        d = d * np.where(k_hat_dot_w < 0.0, cfg.opposing_suppression, 1.0)
+    return d
 
 
 def phillips_spectrum(n: int, domain_size: float, cfg: PhillipsConfig) -> np.ndarray:
@@ -54,13 +78,10 @@ def phillips_spectrum(n: int, domain_size: float, cfg: PhillipsConfig) -> np.nda
     kxg, kyg, k_len = _k_grids(n, domain_size)
     g = cfg.gravity
     l_w = cfg.wind_speed ** 2 / g
-    wd = np.asarray(cfg.wind_direction, dtype=np.float64)
-    wd = wd / np.linalg.norm(wd)
 
     safe = k_len > 1.0e-8
     k_safe = np.where(safe, k_len, 1.0)
-    k_hat_dot_w = (kxg * wd[0] + kyg * wd[1]) / k_safe
-    directional = np.abs(k_hat_dot_w) ** cfg.directional_power
+    directional = _directional(kxg, kyg, k_safe, cfg)
 
     small_l = cfg.small_wave_cutoff * domain_size / n
     p = (
@@ -97,12 +118,14 @@ def jonswap_spectrum(n: int, domain_size: float, cfg: PhillipsConfig) -> np.ndar
     matching the Phillips peak lets JONSWAP states drop into the same
     ``step()`` and render pipeline without retuning. The SHAPE (peak
     sharpness gamma, fetch-limited low-k rolloff) is what the model adds.
+    The conversion uses deep-water dispersion regardless of ``cfg.depth``
+    (a finite depth slows the TIME EVOLUTION of long waves via
+    ``dispersion``); the fully depth-attenuated TMA transform is out of
+    scope.
     """
     kxg, kyg, k_len = _k_grids(n, domain_size)
     g = cfg.gravity
     u, fetch, gamma = cfg.wind_speed, cfg.fetch, cfg.peak_enhancement
-    wd = np.asarray(cfg.wind_direction, dtype=np.float64)
-    wd = wd / np.linalg.norm(wd)
 
     safe = k_len > 1.0e-8
     k_safe = np.where(safe, k_len, 1.0)
@@ -115,8 +138,7 @@ def jonswap_spectrum(n: int, domain_size: float, cfg: PhillipsConfig) -> np.ndar
            * np.exp(-1.25 * (wp / w) ** 4)
            * gamma ** r)
 
-    k_hat_dot_w = (kxg * wd[0] + kyg * wd[1]) / k_safe
-    directional = np.abs(k_hat_dot_w) ** cfg.directional_power
+    directional = _directional(kxg, kyg, k_safe, cfg)
     small_l = cfg.small_wave_cutoff * domain_size / n
     dw_dk = g / (2.0 * w)
     p = np.where(
@@ -157,4 +179,4 @@ def synthesize(
     xi_r = jax.random.normal(kr, (n, n), dtype=jnp.float32)
     xi_i = jax.random.normal(ki, (n, n), dtype=jnp.float32)
     h0 = jnp.stack([xi_r * p, xi_i * p], axis=0)
-    return h0, dispersion(n, domain_size, cfg.gravity)
+    return h0, dispersion(n, domain_size, cfg.gravity, cfg.depth)

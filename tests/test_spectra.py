@@ -129,6 +129,51 @@ def test_jonswap_config_validation():
         PhillipsConfig(model="tma")
     with pytest.raises(ValueError):
         PhillipsConfig(model="jonswap", fetch=0.0)
+    with pytest.raises(ValueError):
+        PhillipsConfig(depth=0.0)
+    with pytest.raises(ValueError):
+        PhillipsConfig(opposing_suppression=1.5)
+
+
+def test_finite_depth_dispersion():
+    """w = sqrt(g k tanh(k h)): finite depth only SLOWS waves, long waves
+    approach the shallow limit k sqrt(g h), short waves the deep-water
+    law, and depth=inf is exactly the deep-water grid."""
+    n, L, g, h = 128, 10000.0, 9.81, 5.0
+    deep = np.asarray(dispersion(n, L, g))
+    fin = np.asarray(dispersion(n, L, g, depth=h))
+    assert np.array_equal(deep, np.asarray(dispersion(n, L, g,
+                                                      depth=np.inf)))
+    assert np.all(fin <= deep + 1e-6)
+    i = np.arange(n)
+    kx = np.pi * (2 * i[None, :] - n - 1) / L
+    ky = np.pi * (2 * i[:, None] - n - 1) / L
+    k = np.hypot(kx, ky)
+    shallow = k * np.sqrt(g * h)  # kh << 1 limit
+    long_w = k * h < 0.1
+    np.testing.assert_allclose(fin[long_w], shallow[long_w], rtol=2e-3)
+    short_w = k * h > 5.0
+    np.testing.assert_allclose(fin[short_w], deep[short_w], rtol=1e-3)
+
+
+def test_opposing_suppression():
+    """Energy on the upwind half-plane (k . w < 0) scales by the
+    suppression factor; the downwind half is untouched."""
+    n, L = 128, 1000.0
+    base = phillips_spectrum(n, L, PhillipsConfig())
+    sup = phillips_spectrum(
+        n, L, PhillipsConfig(opposing_suppression=0.25))
+    i = np.arange(n)
+    kx = np.pi * (2 * i[None, :] - n - 1) / L
+    upwind = np.broadcast_to(kx < 0, (n, n))  # wind is +x by default
+    np.testing.assert_allclose(sup[upwind], 0.25 * base[upwind], rtol=1e-12)
+    np.testing.assert_allclose(sup[~upwind], base[~upwind], rtol=0)
+    # end-to-end: a fully one-sided sea still runs
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    st = ocean_state_from_phillips(
+        cfg, PhillipsConfig(opposing_suppression=0.0, depth=40.0, seed=2))
+    d = np.asarray(ot.make_step(cfg)(st, jnp.float32(1.0)).displacement)
+    assert np.all(np.isfinite(d)) and np.abs(d[..., 1]).max() > 1e-4
 
 
 def test_synthesize_reproducible_and_hermitian_stats():

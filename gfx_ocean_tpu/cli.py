@@ -65,10 +65,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="synthesis spectrum: classic Phillips, or the "
                         "fetch-limited JONSWAP (Hasselmann et al. 1973), "
                         "peak-normalized to the Phillips scale")
-    p.add_argument("--fetch", type=float, default=5.0e5,
-                   help="JONSWAP fetch length in meters")
-    p.add_argument("--peak-enhancement", type=float, default=3.3,
-                   help="JONSWAP gamma (1.0 = Pierson-Moskowitz shape)")
+    p.add_argument("--fetch", type=float, default=None,
+                   help="JONSWAP fetch length in meters (default 5e5)")
+    p.add_argument("--peak-enhancement", type=float, default=None,
+                   help="JONSWAP gamma (1.0 = Pierson-Moskowitz shape; "
+                        "default 3.3)")
     p.add_argument("--depth", type=float, default=float("inf"),
                    help="water depth in meters: finite values use the "
                         "finite-depth dispersion w = sqrt(g k tanh(k h)) "
@@ -114,25 +115,32 @@ def _build(args):
             frag_normal_x=args.frag_normal_x,
         ),
     )
+    # --fetch/--peak-enhancement default to None so the asset-path guard
+    # below can tell "user asked" from "dataclass default".
+    jonswap_kw = {k: v for k, v in (("fetch", args.fetch),
+                                    ("peak_enhancement",
+                                     args.peak_enhancement)) if v is not None}
     phillips = PhillipsConfig(
         amplitude=args.amplitude,
         wind_speed=args.wind_speed,
         wind_direction=tuple(args.wind_dir),
         seed=args.seed,
         model=args.spectrum_model,
-        fetch=args.fetch,
-        peak_enhancement=args.peak_enhancement,
         depth=args.depth,
         opposing_suppression=args.opposing_suppression,
+        **jonswap_kw,
     )
     if args.phillips or args.cascades > 1:
         state = ocean_state_from_phillips(config, phillips)
     else:
         if (args.spectrum_model != "phillips"
                 or not np.isinf(args.depth)
-                or args.opposing_suppression != 1.0):
+                or args.opposing_suppression != 1.0
+                or args.fetch is not None
+                or args.peak_enhancement is not None):
             raise SystemExit("--spectrum-model/--depth/"
-                             "--opposing-suppression only apply to "
+                             "--opposing-suppression/--fetch/"
+                             "--peak-enhancement only apply to "
                              "synthesized initial conditions; add "
                              "--phillips")
         state = ocean_state_from_assets(args.spectrum, args.omega, resolution=None)
@@ -411,7 +419,6 @@ def cmd_render(args) -> int:
         pass
     if getattr(args, "gif", None) and pil_image is None:
         raise SystemExit("--gif needs Pillow (PIL) installed")
-    gif_frames = []
     for start in range(0, args.frames, chunk):
         end = min(start + chunk, args.frames)
         pad = chunk - (end - start)
@@ -428,15 +435,18 @@ def cmd_render(args) -> int:
             np.save(path + ".npy", srgb[j])
             if pil_image is not None:
                 pil_image.fromarray(srgb[j]).save(path + ".png")
-            if getattr(args, "gif", None):
-                gif_frames.append(pil_image.fromarray(srgb[j]))
-    if gif_frames:
-        # GIF timestamps are in whole milliseconds; sub-ms dt rounds to
-        # the nearest frame duration (10 ms floor keeps viewers honest).
-        gif_frames[0].save(
-            args.gif, save_all=True, append_images=gif_frames[1:],
-            duration=max(10, round(args.dt * 1000)), loop=0)
-        print(f"wrote {args.gif} ({len(gif_frames)} frames)")
+    if getattr(args, "gif", None):
+        # Assemble lazily from the PNGs just written (a generator keeps
+        # one decoded frame in memory, not the whole sequence). GIF
+        # timestamps are whole milliseconds; 10 ms floor keeps viewers
+        # honest on sub-ms dt.
+        paths = [os.path.join(args.out, f"frame_{i:05d}.png")
+                 for i in range(args.frames)]
+        with pil_image.open(paths[0]) as first:
+            first.save(args.gif, save_all=True,
+                       append_images=(pil_image.open(p) for p in paths[1:]),
+                       duration=max(10, round(args.dt * 1000)), loop=0)
+        print(f"wrote {args.gif} ({args.frames} frames)")
     print(f"rendered {args.frames} frames to {args.out} "
           f"(sRGB uint8, chunked x{chunk})")
     return 0

@@ -213,6 +213,11 @@ class PhillipsConfig:
                              "(expected 'phillips' or 'jonswap')")
         if self.model == "jonswap" and not (self.fetch > 0):
             raise ValueError(f"jonswap fetch must be > 0, got {self.fetch}")
+        if self.model == "jonswap" and not (self.peak_enhancement > 0):
+            # gamma ** r with fractional r NaNs out for gamma < 0 and
+            # zeroes the sea for gamma == 0 — both silently.
+            raise ValueError("jonswap peak_enhancement (gamma) must be "
+                             f"> 0, got {self.peak_enhancement}")
         if not (self.depth > 0):
             raise ValueError(f"depth must be > 0 (meters), got {self.depth}")
         if not (0.0 <= self.opposing_suppression <= 1.0):

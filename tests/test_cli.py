@@ -92,7 +92,7 @@ def test_cli_render_mesh(tmp_path, capsys):
 def test_cli_render_gif(tmp_path, capsys):
     """--gif writes one animated GIF whose frames decode back to the
     rendered frame shapes (PIL round trip)."""
-    from PIL import Image
+    Image = pytest.importorskip("PIL.Image", reason="Pillow not installed")
 
     out = str(tmp_path / "frames")
     gif = str(tmp_path / "ocean.gif")

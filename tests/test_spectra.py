@@ -130,6 +130,8 @@ def test_jonswap_config_validation():
     with pytest.raises(ValueError):
         PhillipsConfig(model="jonswap", fetch=0.0)
     with pytest.raises(ValueError):
+        PhillipsConfig(model="jonswap", peak_enhancement=-1.0)
+    with pytest.raises(ValueError):
         PhillipsConfig(depth=0.0)
     with pytest.raises(ValueError):
         PhillipsConfig(opposing_suppression=1.5)

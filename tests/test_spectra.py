@@ -201,6 +201,22 @@ def test_synthesized_state_runs_end_to_end():
     assert np.abs(d[..., 1]).max() > 1e-3  # nontrivial waves
 
 
+def test_jonswap_cascades():
+    """Cascaded JONSWAP synthesis: each cascade normalizes against the
+    Phillips envelope at ITS OWN domain, so all three produce live,
+    finite, distinct fields."""
+    cfg = ot.OceanConfig(resolution=64, num_cascades=3,
+                         compute_normals=False)
+    st = ocean_state_from_phillips(
+        cfg, PhillipsConfig(model="jonswap", seed=5))
+    out = ot.make_step(cfg)(st, jnp.float32(2.0))
+    d = np.asarray(out.displacement)
+    assert d.shape == (3, 64, 64, 3) and np.all(np.isfinite(d))
+    for c in range(3):
+        assert np.abs(d[c, ..., 1]).max() > 1e-6
+    assert not np.allclose(d[0], d[1])
+
+
 def test_cascades_vmap():
     """Config 4: 3 cascaded patches via vmap, plus foam."""
     cfg = ot.OceanConfig(resolution=128, num_cascades=3, compute_foam=True,

@@ -211,10 +211,13 @@ def cmd_info(args) -> int:
     import jax
 
     config, phillips, state = _build(args)
+    ph = dataclasses.asdict(phillips)
+    if ph["depth"] == float("inf"):
+        ph["depth"] = None   # deep water; keeps the output strict JSON
     print(json.dumps({
         "devices": [str(d) for d in jax.devices()],
         "config": dataclasses.asdict(config),
-        "phillips": dataclasses.asdict(phillips),
+        "phillips": ph,
         "state": {"h0": list(state.h0.shape), "omega": list(state.omega.shape)},
     }, indent=2))
     return 0

@@ -34,7 +34,16 @@ ACCURACY_GATE = 1e-4
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # Make JAX_PLATFORMS=cpu mean it: the container's sitecustomize
+        # re-pins the tunneled TPU platform after import (same trap as
+        # cli._honor_platform_env / dryrun_multichip).
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax.numpy as jnp
 
     import gfx_ocean_tpu as ot
@@ -150,6 +159,30 @@ if __name__ == "__main__":
     # keeps a single flake from voiding the benchmark record. The retry
     # RE-EXECS into a fresh process: a failed axon op can poison later
     # ops in the same process (.claude/skills/verify/SKILL.md).
+    # Watchdog: a fully-down tunnel hangs the first device op PAST any
+    # jit timeout (round 3 saw a multi-hour outage where even
+    # jax.devices() never returned) — fail loudly instead of wedging the
+    # caller. A THREAD (not SIGALRM: a C-blocked main thread never runs
+    # Python signal handlers) that hard-exits. Generous default: a
+    # healthy cold TPU run finishes in minutes; a DEGRADED tunnel has
+    # shown >10 min per compile and this script compiles ~4 programs, so
+    # only a 90-minute silence counts as wedged.
+    import os as _os
+    import threading as _threading
+
+    _WATCHDOG_SEC = int(_os.environ.get("GFX_OCEAN_BENCH_WATCHDOG_SEC",
+                                        "5400"))
+
+    def _watchdog():
+        _os.write(2, (f"bench watchdog: no completion within "
+                      f"{_WATCHDOG_SEC} s — TPU backend unreachable or "
+                      f"wedged; aborting instead of hanging\n").encode())
+        _os._exit(3)
+
+    if _WATCHDOG_SEC > 0:
+        _timer = _threading.Timer(_WATCHDOG_SEC, _watchdog)
+        _timer.daemon = True
+        _timer.start()
     try:
         main()
     except SystemExit:

@@ -73,7 +73,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--depth", type=float, default=float("inf"),
                    help="water depth in meters: finite values use the "
                         "finite-depth dispersion w = sqrt(g k tanh(k h)) "
-                        "(long waves slow down); default deep water")
+                        "(long waves slow down) and make the jonswap "
+                        "model the TMA spectrum; default deep water")
     p.add_argument("--opposing-suppression", type=float, default=1.0,
                    help="multiplier in [0, 1] on spectrum energy for "
                         "waves moving against the wind (1 = classic "

@@ -199,7 +199,9 @@ class PhillipsConfig:
     peak_enhancement: float = 3.3
     # Water depth in meters: finite values switch the dispersion to
     # w = sqrt(g k tanh(k h)) (intermediate/shallow water slows long
-    # waves); inf = the reference's deep-water w = sqrt(g k).
+    # waves) and, under model="jonswap", apply the TMA Kitaigorodskii
+    # depth attenuation to the spectrum (Bouws et al. 1985);
+    # inf = the reference's deep-water w = sqrt(g k).
     depth: float = float("inf")
     # Multiplier on P(k) for waves moving AGAINST the wind
     # (k_hat . w_hat < 0): 1.0 keeps the classic symmetric |dot|^p,

@@ -105,11 +105,18 @@ def jonswap_spectrum(n: int, domain_size: float, cfg: PhillipsConfig) -> np.ndar
         alpha = 0.076 (U^2 / (F g))^0.22
         wp    = 22 (g^2 / (U F))^(1/3)
 
-    converted to the wave-vector domain through deep-water dispersion
-    (``P(k) = S(w(k)) * D(k_hat) * (dw/dk) / k`` with ``dw/dk = g/(2w)``,
-    the standard graphics conversion — Horvath, "Empirical directional
-    wave spectra for computer graphics", 2015), using this module's
-    ``|k_hat . w_hat|^p`` directional factor and small-wave cutoff.
+    converted to the wave-vector domain through the dispersion relation
+    (``P(k) = S(w(k)) * D(k_hat) * (dw/dk) / k``, the standard graphics
+    conversion — Horvath, "Empirical directional wave spectra for
+    computer graphics", 2015), using this module's ``|k_hat . w_hat|^p``
+    directional factor and small-wave cutoff.
+
+    A finite ``cfg.depth`` h makes this the TMA spectrum (Bouws et al.
+    1985): the Kitaigorodskii attenuation ``Phi(w_h)``, ``w_h = w
+    sqrt(h/g)``, multiplies S(w) (long waves lose energy over a shallow
+    bottom), and the conversion consistently uses the finite-depth
+    ``w = sqrt(g k tanh(k h))`` and its ``dw/dk``. At ``depth=inf`` every
+    factor reduces exactly to the deep-water JONSWAP form.
 
     The overall magnitude is PEAK-NORMALIZED to the classic Phillips
     spectrum at the same (amplitude, wind): the reference's unnormalized
@@ -117,30 +124,43 @@ def jonswap_spectrum(n: int, domain_size: float, cfg: PhillipsConfig) -> np.ndar
     choice absorbed by the /3.0, /3.5, height_scale render scalings, so
     matching the Phillips peak lets JONSWAP states drop into the same
     ``step()`` and render pipeline without retuning. The SHAPE (peak
-    sharpness gamma, fetch-limited low-k rolloff) is what the model adds.
-    The conversion uses deep-water dispersion regardless of ``cfg.depth``
-    (a finite depth slows the TIME EVOLUTION of long waves via
-    ``dispersion``); the fully depth-attenuated TMA transform is out of
-    scope.
+    sharpness gamma, fetch-limited low-k rolloff, depth attenuation) is
+    what the model adds.
     """
     kxg, kyg, k_len = _k_grids(n, domain_size)
     g = cfg.gravity
     u, fetch, gamma = cfg.wind_speed, cfg.fetch, cfg.peak_enhancement
+    h = cfg.depth
 
     safe = k_len > 1.0e-8
     k_safe = np.where(safe, k_len, 1.0)
-    w = np.sqrt(g * k_safe)
+    if np.isinf(h):
+        w = np.sqrt(g * k_safe)
+        dw_dk = g / (2.0 * w)
+        phi = 1.0
+    else:
+        kh = k_safe * h
+        tanh = np.tanh(kh)
+        w = np.sqrt(g * k_safe * tanh)
+        # d/dk [g k tanh(kh)] = g (tanh + kh sech^2); sech^2 = 1 - tanh^2
+        dw_dk = g * (tanh + kh * (1.0 - tanh * tanh)) / (2.0 * w)
+        # Kitaigorodskii depth function, Thompson-Vincent approximation
+        # (as used by TMA, Bouws et al. 1985):
+        w_h = w * np.sqrt(h / g)
+        phi = np.where(
+            w_h <= 1.0, 0.5 * w_h ** 2,
+            np.where(w_h < 2.0, 1.0 - 0.5 * (2.0 - w_h) ** 2, 1.0))
     wp = 22.0 * (g * g / (u * fetch)) ** (1.0 / 3.0)
     alpha = 0.076 * (u * u / (fetch * g)) ** 0.22
     sigma = np.where(w <= wp, 0.07, 0.09)
     r = np.exp(-((w - wp) ** 2) / (2.0 * sigma ** 2 * wp ** 2))
     s_w = (alpha * g * g / w ** 5
            * np.exp(-1.25 * (wp / w) ** 4)
-           * gamma ** r)
+           * gamma ** r
+           * phi)
 
     directional = _directional(kxg, kyg, k_safe, cfg)
     small_l = cfg.small_wave_cutoff * domain_size / n
-    dw_dk = g / (2.0 * w)
     p = np.where(
         safe,
         s_w * directional * dw_dk / k_safe

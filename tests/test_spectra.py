@@ -201,6 +201,34 @@ def test_synthesized_state_runs_end_to_end():
     assert np.abs(d[..., 1]).max() > 1e-3  # nontrivial waves
 
 
+def test_tma_depth_attenuation():
+    """Finite depth turns JONSWAP into TMA: a huge-but-finite depth
+    matches the deep-water branch, and a shallow sea concentrates
+    (normalized) energy at higher k — the Kitaigorodskii factor plus the
+    slower finite-depth dispersion strip the long-wave end."""
+    from gfx_ocean_tpu.spectra.phillips import jonswap_spectrum
+
+    n, L = 256, 4000.0
+    deep = jonswap_spectrum(n, L, PhillipsConfig(model="jonswap"))
+    near = jonswap_spectrum(n, L, PhillipsConfig(model="jonswap",
+                                                 depth=1.0e9))
+    np.testing.assert_allclose(near, deep, rtol=1e-9)
+    shallow = jonswap_spectrum(n, L, PhillipsConfig(model="jonswap",
+                                                    depth=5.0))
+    assert np.all(np.isfinite(shallow)) and np.all(shallow >= 0)
+    i = np.arange(n)
+    kx = np.pi * (2 * i[None, :] - n - 1) / L
+    ky = np.pi * (2 * i[:, None] - n - 1) / L
+    k = np.hypot(kx, ky)
+    cfg = PhillipsConfig(model="jonswap")
+    wp = 22.0 * (cfg.gravity ** 2 / (cfg.wind_speed * cfg.fetch)) ** (1 / 3)
+    kp = wp * wp / cfg.gravity
+    low = k < 2 * kp
+    frac_deep = deep[low].sum() / deep.sum()
+    frac_shallow = shallow[low].sum() / shallow.sum()
+    assert frac_shallow < frac_deep * 0.9
+
+
 def test_jonswap_cascades():
     """Cascaded JONSWAP synthesis: each cascade normalizes against the
     Phillips envelope at ITS OWN domain, so all three produce live,

@@ -34,17 +34,12 @@ ACCURACY_GATE = 1e-4
 
 
 def main() -> None:
-    import os
-
     import jax
-
-    if os.environ.get("JAX_PLATFORMS"):
-        # Make JAX_PLATFORMS=cpu mean it: the container's sitecustomize
-        # re-pins the tunneled TPU platform after import (same trap as
-        # cli._honor_platform_env / dryrun_multichip).
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
     import jax.numpy as jnp
+
+    from gfx_ocean_tpu.cli import _honor_platform_env
+
+    _honor_platform_env()
 
     import gfx_ocean_tpu as ot
     from gfx_ocean_tpu.utils.compile_cache import enable_default_cache

@@ -116,11 +116,16 @@ def _build(args):
             frag_normal_x=args.frag_normal_x,
         ),
     )
-    # --fetch/--peak-enhancement default to None so the asset-path guard
-    # below can tell "user asked" from "dataclass default".
+    # --fetch/--peak-enhancement default to None so the guards can tell
+    # "user asked" from "dataclass default".
     jonswap_kw = {k: v for k, v in (("fetch", args.fetch),
                                     ("peak_enhancement",
                                      args.peak_enhancement)) if v is not None}
+    if jonswap_kw and args.spectrum_model != "jonswap":
+        # A Phillips sea would silently ignore them.
+        raise SystemExit(
+            f"--{'/--'.join(k.replace('_', '-') for k in jonswap_kw)} "
+            "only apply to --spectrum-model jonswap")
     phillips = PhillipsConfig(
         amplitude=args.amplitude,
         wind_speed=args.wind_speed,
@@ -134,14 +139,12 @@ def _build(args):
     if args.phillips or args.cascades > 1:
         state = ocean_state_from_phillips(config, phillips)
     else:
+        # (--fetch/--peak-enhancement without jonswap are rejected above.)
         if (args.spectrum_model != "phillips"
                 or not np.isinf(args.depth)
-                or args.opposing_suppression != 1.0
-                or args.fetch is not None
-                or args.peak_enhancement is not None):
+                or args.opposing_suppression != 1.0):
             raise SystemExit("--spectrum-model/--depth/"
-                             "--opposing-suppression/--fetch/"
-                             "--peak-enhancement only apply to "
+                             "--opposing-suppression only apply to "
                              "synthesized initial conditions; add "
                              "--phillips")
         state = ocean_state_from_assets(args.spectrum, args.omega, resolution=None)
@@ -212,13 +215,23 @@ def cmd_info(args) -> int:
     import jax
 
     config, phillips, state = _build(args)
-    ph = dataclasses.asdict(phillips)
-    if ph["depth"] == float("inf"):
-        ph["depth"] = None   # deep water; keeps the output strict JSON
+
+    def _finite(obj):
+        # Strict JSON: json.dumps would emit the non-JSON literals
+        # Infinity/NaN for non-finite floats (e.g. the deep-water
+        # depth=inf default) — map them to null instead, everywhere.
+        if isinstance(obj, float) and not np.isfinite(obj):
+            return None
+        if isinstance(obj, dict):
+            return {k: _finite(v) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return [_finite(v) for v in obj]
+        return obj
+
     print(json.dumps({
         "devices": [str(d) for d in jax.devices()],
-        "config": dataclasses.asdict(config),
-        "phillips": ph,
+        "config": _finite(dataclasses.asdict(config)),
+        "phillips": _finite(dataclasses.asdict(phillips)),
         "state": {"h0": list(state.h0.shape), "omega": list(state.omega.shape)},
     }, indent=2))
     return 0
@@ -440,10 +453,12 @@ def cmd_render(args) -> int:
             if pil_image is not None:
                 pil_image.fromarray(srgb[j]).save(path + ".png")
     if getattr(args, "gif", None):
-        # Assemble lazily from the PNGs just written (a generator keeps
-        # one decoded frame in memory, not the whole sequence). GIF
-        # timestamps are whole milliseconds; 10 ms floor keeps viewers
-        # honest on sub-ms dt.
+        # Assemble from the PNGs just written through a generator: one
+        # RGB frame decoded at a time; Pillow's GIF writer still holds
+        # every PALETTIZED frame until the final write, so peak memory
+        # is ~1 byte/px/frame instead of the 3 bytes/px/frame an RGB
+        # list would hold — bounded, not O(1). GIF timestamps are whole
+        # milliseconds; 10 ms floor keeps viewers honest on sub-ms dt.
         paths = [os.path.join(args.out, f"frame_{i:05d}.png")
                  for i in range(args.frames)]
         with pil_image.open(paths[0]) as first:

@@ -213,13 +213,21 @@ class PhillipsConfig:
         if self.model not in ("phillips", "jonswap"):
             raise ValueError(f"unknown spectrum model {self.model!r} "
                              "(expected 'phillips' or 'jonswap')")
-        if self.model == "jonswap" and not (self.fetch > 0):
-            raise ValueError(f"jonswap fetch must be > 0, got {self.fetch}")
-        if self.model == "jonswap" and not (self.peak_enhancement > 0):
-            # gamma ** r with fractional r NaNs out for gamma < 0 and
-            # zeroes the sea for gamma == 0 — both silently.
+        import math
+
+        if self.model == "jonswap" and not (
+                math.isfinite(self.fetch) and self.fetch > 0):
+            # fetch=inf silently zeroes the whole sea (alpha -> 0).
+            raise ValueError("jonswap fetch must be finite and > 0, got "
+                             f"{self.fetch}")
+        if self.model == "jonswap" and not (
+                math.isfinite(self.peak_enhancement)
+                and self.peak_enhancement > 0):
+            # gamma ** r with fractional r NaNs out for gamma < 0, zeroes
+            # the sea for gamma == 0, and gamma = inf NaNs the peak
+            # normalization — all silently.
             raise ValueError("jonswap peak_enhancement (gamma) must be "
-                             f"> 0, got {self.peak_enhancement}")
+                             f"finite and > 0, got {self.peak_enhancement}")
         if not (self.depth > 0):
             raise ValueError(f"depth must be > 0 (meters), got {self.depth}")
         if not (0.0 <= self.opposing_suppression <= 1.0):

@@ -16,6 +16,7 @@ real-time Tessendorf ocean demo; this package re-designs it for TPU:
 """
 
 from gfx_ocean_tpu.config import CompatFlags, OceanConfig, PhillipsConfig
+from gfx_ocean_tpu.query import SurfaceSample, sample_surface
 from gfx_ocean_tpu.models.ocean import (
     OceanFields,
     OceanState,
@@ -38,5 +39,7 @@ __all__ = [
     "make_step",
     "ocean_state_from_assets",
     "ocean_state_from_phillips",
+    "sample_surface",
     "step",
+    "SurfaceSample",
 ]

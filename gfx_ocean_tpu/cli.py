@@ -10,6 +10,7 @@ the renderer (``src/lib.rs:42-171``); on a TPU host the equivalents are:
                 them in the reference's bincode format (the missing
                 offline asset generator, SURVEY.md §3.4)
     render    — rasterize frames along a scripted camera to .npy/.png
+    query     — water height/normal at world points (buoy sampling)
     info      — show config, devices, asset stats
 
 Every GLSL literal of the reference is a flag here (SURVEY.md §5 config).
@@ -233,6 +234,58 @@ def cmd_info(args) -> int:
         "config": _finite(dataclasses.asdict(config)),
         "phillips": _finite(dataclasses.asdict(phillips)),
         "state": {"h0": list(state.h0.shape), "omega": list(state.omega.shape)},
+    }, indent=2))
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Buoy sampling: height/normal of the displaced surface at world
+    (x, z) — the readback the reference cannot do (its surface exists
+    only as ``ocean.vert``-displaced pixels)."""
+    import jax.numpy as jnp
+
+    from gfx_ocean_tpu import make_step
+    from gfx_ocean_tpu.checkpoint import load_checkpoint
+    from gfx_ocean_tpu.query import sample_surface
+
+    if args.resume:
+        state, t0, config = load_checkpoint(args.resume)
+        t = args.t if args.t is not None else t0
+    else:
+        config, _, state = _build(args)
+        t = args.t if args.t is not None else 0.0
+    pts = []
+    for spec in args.points:
+        parts = spec.split(",")
+        if len(parts) != 2:
+            raise SystemExit(f"point wants X,Z (e.g. 40.5,12), got {spec!r}")
+        try:
+            pts.append((float(parts[0]), float(parts[1])))
+        except ValueError:
+            raise SystemExit(f"point wants floats, got {spec!r}") from None
+    fields = make_step(config)(state, jnp.float32(t))
+    cascades = fields.displacement.ndim == 4
+    tiles = (tuple(config.domains[0] / d for d in config.domains)
+             if cascades else None)
+    xq = jnp.asarray([p[0] for p in pts], jnp.float32)
+    zq = jnp.asarray([p[1] for p in pts], jnp.float32)
+    out = sample_surface(fields.displacement, xq, zq,
+                         mesh_resolution=config.mesh_resolution,
+                         height_div=config.height_div,
+                         horiz_div=config.horiz_div,
+                         iterations=args.iterations, tiles=tiles)
+    height = np.asarray(out.height)
+    normal = np.asarray(out.normal)
+    residual = np.asarray(out.residual)
+    print(json.dumps({
+        "t": float(t),
+        "samples": [
+            {"x": pts[i][0], "z": pts[i][1],
+             "height": float(height[i]),
+             "normal": [float(v) for v in normal[i]],
+             "residual": float(residual[i]),
+             "converged": bool(residual[i] < args.tolerance)}
+            for i in range(len(pts))],
     }, indent=2))
     return 0
 
@@ -549,6 +602,23 @@ def main(argv=None) -> int:
                         "the camera script's frame rate (the shippable "
                         "analog of the reference README's demo video)")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("query", help="water height/normal at world points "
+                                     "(buoy sampling)")
+    _add_common(p)
+    p.add_argument("points", nargs="+", metavar="X,Z",
+                   help="world-space query points (mesh grid step = 1 "
+                        "unit; one patch spans mesh_resolution - 1)")
+    p.add_argument("-t", type=float, default=None,
+                   help="absolute sim time (default 0, or the "
+                        "checkpoint's t with --resume)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="load state/config from a checkpoint .npz")
+    p.add_argument("--iterations", type=int, default=8,
+                   help="choppy-inversion fixed-point steps")
+    p.add_argument("--tolerance", type=float, default=1e-3,
+                   help="residual below which a sample reports converged")
+    p.set_defaults(fn=cmd_query)
 
     args = parser.parse_args(argv)
     return args.fn(args)

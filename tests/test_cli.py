@@ -243,3 +243,29 @@ def test_cli_save_fields_batched(tmp_path, capsys):
         assert z["displacement"].shape == (64, 64, 3)
         assert abs(float(z["t"]) - 0.10) < 1e-6
         assert np.isfinite(z["displacement"]).all()
+
+
+def test_cli_query(capsys):
+    assert main(["query", "10.5,20", "100,30.25", *BASE, "-t", "3.5"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["t"] == 3.5 and len(out["samples"]) == 2
+    s = out["samples"][0]
+    assert s["x"] == 10.5 and s["z"] == 20.0
+    assert np.isfinite(s["height"]) and len(s["normal"]) == 3
+    assert abs(np.linalg.norm(s["normal"]) - 1.0) < 1e-5
+    # agrees with the library API at the same config
+    import jax.numpy as jnp
+    from gfx_ocean_tpu.query import sample_surface
+    state = downsample_state(ot.ocean_state_from_assets(), 64)
+    cfg = ot.OceanConfig(resolution=64, compute_normals=False)
+    fields = ot.make_step(cfg)(state, jnp.float32(3.5))
+    want = sample_surface(fields.displacement, jnp.float32(10.5),
+                          jnp.float32(20.0), iterations=8)
+    assert abs(s["height"] - float(want.height)) < 1e-6
+
+
+def test_cli_query_rejects_bad_point(capsys):
+    with pytest.raises(SystemExit):
+        main(["query", "10.5", *BASE])
+    with pytest.raises(SystemExit):
+        main(["query", "a,b", *BASE])

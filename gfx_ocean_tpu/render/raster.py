@@ -667,7 +667,7 @@ def _slot_stage(crow, total_covered, pool: int, width: int,
     return [keys[0], keys[1]], [flats[0], flats[1]]
 
 
-def _auto_pool(width: int, height: int) -> int:
+def _auto_pool(width: int, height: int, bands: int = 1) -> int:
     """Slot pool (one slot = a horizontal pixel PAIR) sized to ~1.5x the
     viewport area, floored at 2^18 — the same pixel capacity as the
     round-2 one-pixel-per-slot pool (3x viewport, floor 2^19). Camera
@@ -680,8 +680,21 @@ def _auto_pool(width: int, height: int) -> int:
     ``pool_overflow``). Rounded up to a lane-row multiple, NOT a power
     of two: the round-2 pow2 rounding put 2^21 slots under a 1200x700
     viewport that needs 1.26M — a measured 40% of every per-slot op
-    spent on structurally-dead slots."""
+    spent on structurally-dead slots.
+
+    ``bands``: this is ONE horizontal band of a viewport split into
+    that many (``height`` is then the BAND height). Hits are not
+    spread uniformly over bands — distant triangles pile up in the
+    band holding the horizon (the default pose at 1200x700 measured
+    its horizon band at ~1.8x the uniform share, overflowing a
+    proportionally-sized pool by 1,462 triangles — past what
+    ``giants`` can absorb, silently degrading the band/full-frame
+    bit-equality contract). A band pool therefore carries a 2x skew
+    margin, capped at what the FULL frame would use (a band can never
+    need more than the whole frame)."""
     want = (3 * width * height + 1) // 2
+    if bands > 1:
+        want = min(2 * want, (3 * width * height * bands + 1) // 2)
     return max(1 << 18, -(-want // 8192) * 8192)
 
 
@@ -888,10 +901,19 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
 
 
 def pool_overflow(displacement, positions, uvs, tris, view_proj,
-                  width: int, height: int, pool: int | None = None) -> int:
+                  width: int, height: int, pool: int | None = None,
+                  y_origin: int = 0, full_height: int | None = None,
+                  bands: int = 1) -> int:
     """Diagnostic: how many visible triangles spill past the pool (each
     must be absorbed by a gather-pass slot for exact coverage). Sized so
     this is 0 for realistic scenes; tests assert it.
+
+    ``y_origin``/``full_height``/``bands`` check one horizontal BAND of
+    a band-split render (``height`` = band height; ``bands`` feeds the
+    band pool's skew-margin default, matching ``_fused_frame_fn``).
+    Overflow beyond the ``giants`` capacity breaks the band/full-frame
+    bit-equality contract — check every band of a custom pose/mesh
+    combination here before trusting it.
 
     Diagnostic ONLY — it runs eagerly per call with jnp.sort/jnp.cumsum
     (not the production path's sort-carried tables / MXU prefix sums) and
@@ -909,17 +931,17 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
                | all_outside(v_clip[..., 2]))
     w_safe = jnp.where(fully_front[:, None], w, 1.0)
     sx = (v_clip[..., 0] / w_safe * 0.5 + 0.5) * width
-    sy = (v_clip[..., 1] / w_safe * 0.5 + 0.5) * height
+    sy = (v_clip[..., 1] / w_safe * 0.5 + 0.5) * (full_height or height)
     x0 = jnp.maximum(jnp.ceil(sx.min(-1) - 0.5), 0.0)
     x1 = jnp.minimum(jnp.floor(sx.max(-1) - 0.5), width - 1.0)
-    y0 = jnp.maximum(jnp.ceil(sy.min(-1) - 0.5), 0.0)
-    y1 = jnp.minimum(jnp.floor(sy.max(-1) - 0.5), height - 1.0)
+    y0 = jnp.maximum(jnp.ceil(sy.min(-1) - 0.5) - y_origin, 0.0)
+    y1 = jnp.minimum(jnp.floor(sy.max(-1) - 0.5) - y_origin, height - 1.0)
     # slot units: ceil(bw / 2) column pairs x bh rows (pair-slot pool)
     area = jnp.where(fully_front & ~outside,
                      jnp.ceil(jnp.maximum(x1 - x0 + 1, 0) / 2)
                      * jnp.maximum(y1 - y0 + 1, 0),
                      0.0)
-    pool = pool or _auto_pool(width, height)
+    pool = pool or _auto_pool(width, height, bands)
     cum = jnp.cumsum(jnp.sort(area))
     return int(jnp.sum((cum > pool) & (jnp.sort(area) > 0)))
 
@@ -1221,7 +1243,8 @@ def _fused_frame_fn(config, width: int, height: int, giants: int,
               else jax.lax.axis_index(band_axis) * band_h)
         img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
                                  view_proj, camera_pos, width, band_h,
-                                 pool or _auto_pool(width, band_h), giants,
+                                 pool or _auto_pool(width, band_h, n_bands),
+                                 giants,
                                  interp,
                                  (config.num_patches, config.mesh_resolution),
                                  foam,

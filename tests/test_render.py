@@ -413,7 +413,8 @@ def test_band_render_bit_equal_fuzz(disp64):
         bands, bz = [], []
         bh = H // 4
         for k in range(4):
-            img, z = rr._rasterize_pool(*args, W, bh, rr._auto_pool(W, bh),
+            img, z = rr._rasterize_pool(*args, W, bh,
+                                        rr._auto_pool(W, bh, 4),
                                         64, interp, gs, None, 1, scales,
                                         tiles, y_origin=k * bh,
                                         full_height=H)
@@ -815,3 +816,36 @@ def test_cascade_stack_requires_domains(disp64):
     with pytest.raises(ValueError, match="cascade_domains"):
         render_frame(stack, Camera(), width=32, height=32,
                      mesh_resolution=16)
+
+
+def test_band_pool_skew_margin():
+    """Band pools carry a 2x skew margin (capped at the full-frame pool):
+    hits are NOT uniform over bands — at the reference window and default
+    pose the horizon band measured ~1.8x its uniform share, overflowing a
+    proportionally-sized pool by 1,462 triangles (past the giants
+    capacity, silently breaking band/full bit-equality on hardware).
+    This pins the sizing rule to that measured case via the band-aware
+    ``pool_overflow`` diagnostic."""
+    from gfx_ocean_tpu.render import raster as rr
+    from gfx_ocean_tpu.render.camera import perspective as persp
+
+    W, H, D = 1200, 700, 4
+    state = downsample_state(ot.ocean_state_from_assets(), 512)
+    disp = ot.make_step(ot.OceanConfig())(state, jnp.float32(11.25)).displacement
+    positions, uvs, tris = rr._mesh_constants(128, 4)
+    cam = Camera()
+    vp = jnp.asarray((persp(W / H) @ cam.view()).astype(np.float32))
+    bh = H // D
+    prop = rr._auto_pool(W, bh)          # proportional (pre-fix sizing)
+    skew = rr._auto_pool(W, bh, D)       # band-aware default
+    assert prop < skew <= rr._auto_pool(W, H)
+    worst_prop = worst_skew = 0
+    for k in range(D):
+        worst_prop = max(worst_prop, rr.pool_overflow(
+            disp, positions, uvs, tris, vp, W, bh, pool=prop,
+            y_origin=k * bh, full_height=H))
+        worst_skew = max(worst_skew, rr.pool_overflow(
+            disp, positions, uvs, tris, vp, W, bh, pool=skew,
+            y_origin=k * bh, full_height=H))
+    assert worst_prop > 512      # the bug: beyond giants absorption
+    assert worst_skew == 0       # the fix: no overflow at all

@@ -302,7 +302,12 @@ def _pixel_ndc(width: int, height: int, y_origin=0, full_height: int | None = No
     return pnx, pny
 
 
-_KEY_MAX = jnp.uint32(0xFFFFFFFF)
+# A numpy scalar, NOT jnp: a module-level jnp constant commits a device
+# array at import time, initializing the backend on the default platform
+# before entry points can honor JAX_PLATFORMS (it broke
+# `JAX_PLATFORMS=cpu python -m gfx_ocean_tpu bench --mesh 2,4` — only the
+# one axon chip was visible). numpy scalars trace identically inside jit.
+_KEY_MAX = np.uint32(0xFFFFFFFF)
 
 
 _MIN_Z_BITS = 12
@@ -360,9 +365,10 @@ def _pack_key(z, tri_id, hit, id_bits: int):
                  float((1 << z_bits) - 2)).astype(jnp.int32),
         jnp.int32((1 << z_bits) - 2)).astype(jnp.uint32)
     key = (zq << id_bits) | tri_id.astype(jnp.uint32)
-    # NB: a fresh literal, not the module-level _KEY_MAX array — this
-    # function is also traced inside the Pallas slot kernel, where a
-    # captured device-array constant is rejected.
+    # NB: a fresh literal (this function is also traced inside the
+    # Pallas slot kernel, which rejects captured device-array constants;
+    # _KEY_MAX is a numpy scalar now, but the literal keeps that
+    # invariant local).
     return jnp.where(hit, key, jnp.uint32(0xFFFFFFFF))
 
 

@@ -269,3 +269,29 @@ def test_cli_query_rejects_bad_point(capsys):
         main(["query", "10.5", *BASE])
     with pytest.raises(SystemExit):
         main(["query", "a,b", *BASE])
+
+
+def test_import_does_not_initialize_jax_backend():
+    """Importing the package must not commit a jax backend.
+
+    ``python -m gfx_ocean_tpu`` honors ``JAX_PLATFORMS`` in ``main()``
+    (cli.py ``_honor_platform_env``), which only works if nothing in the
+    import chain created a device array first: a module-level ``jnp``
+    constant (the old ``raster._KEY_MAX``) initialized the default
+    platform at import and broke ``--mesh`` runs on the CPU mesh (the
+    backend pinned to the single real chip). Subprocess because this
+    process's conftest already initialized a backend.
+    """
+    code = (
+        "import jax\n"
+        "from jax._src import xla_bridge\n"
+        "import gfx_ocean_tpu.cli\n"
+        "import gfx_ocean_tpu.render.raster\n"
+        "import gfx_ocean_tpu.serve\n"
+        "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the real-platform path is the trap
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr

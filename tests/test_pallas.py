@@ -60,6 +60,7 @@ def test_pallas_dot3_accuracy(state128):
     assert err < 5e-5, f"dot3 error {err:.2e}"
 
 
+@pytest.mark.slow
 def test_pallas_fourstep_2048_matches_matmul():
     """N = 2048 routes through the four-step two-kernel pipeline (fused
     packed-Hermitian propagate + in-VMEM four-step stages); must agree
@@ -162,6 +163,7 @@ def test_pallas_large_t_phase_matches_jnp_path(state128):
     assert rel < 2e-6, rel
 
 
+@pytest.mark.slow
 def test_pallas_fourstep_compat_flags_match_matmul():
     """Every quirk flag reaches the four-step kernel (wrap_k in the
     in-kernel k-hat iotas, ref_sign in the column tables, conj_neg in the

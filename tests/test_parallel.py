@@ -243,6 +243,7 @@ def test_sharded_rollout_packed_shard_map(rng, mesh8):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_sharded_frame_renderer_bit_equal(mesh8):
     """Band-parallel rendering over the mesh (each device rasterizes a
     horizontal band of the viewport) is BIT-equal to the single-chip
@@ -282,6 +283,7 @@ def test_sharded_frame_renderer_validates_height(mesh8):
                                     96, 50, axis="row")   # 50 % 4 != 0
 
 
+@pytest.mark.slow
 def test_sharded_batch_renderer_bit_equal(mesh8):
     """Offline production split: frames DP over 'batch' x bands over
     'row' — bit-equal to the single-chip batched renderer."""

@@ -146,6 +146,7 @@ def test_fragment_normals_flat_sea_points_up():
     (1024, 1),   # deepest fold the caps admit: group=8 (16-col rows)
     (2048, 2),   # fold capped at 8 (rows stay above the cliff by design)
 ])
+@pytest.mark.slow
 def test_packed_table_bilerp_group_rows_exact(n, n_planes):
     """The tap table packs adjacent texels into wider rows (the 2^17
     gather row-count cliff, CLAUDE.md cost model; group capped at 8
@@ -227,6 +228,7 @@ def test_golden_frame_regression():
     assert np.abs(got[both].mean(0) - want[both].mean(0)).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_render_frames_batched():
     """Batched frame generation equals per-frame rendering."""
     from gfx_ocean_tpu.render import render_frames
@@ -361,6 +363,7 @@ def test_pool_matches_window_default_camera(disp64):
     np.testing.assert_allclose(img_p, img_w, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pool_matches_window_fuzz_cameras(disp64):
     """Coverage + depth equality under random poses, including cameras
     inside the wave field (eye-plane-crossing triangles -> gather pass)."""
@@ -380,6 +383,7 @@ def test_pool_matches_window_fuzz_cameras(disp64):
         np.testing.assert_allclose(img_p, img_w, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_band_render_bit_equal_fuzz(disp64):
     """Horizontal-band rendering (``y_origin``/``full_height`` — the
     multi-chip viewport split) stacks to the full frame BIT-exactly:
@@ -426,6 +430,7 @@ def test_band_render_bit_equal_fuzz(disp64):
                                       np.asarray(fz), err_msg=f"{pos}")
 
 
+@pytest.mark.slow
 def test_pool_overflow_spills_to_gather_pass(disp64):
     """A deliberately tiny pool pushes the largest triangles into the
     gather pass; with enough giant slots the output is unchanged."""
@@ -442,6 +447,7 @@ def test_pool_overflow_spills_to_gather_pass(disp64):
     np.testing.assert_allclose(np.asarray(img), ref_img, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pool_overflow_diagnostic_zero_at_default(disp64):
     from gfx_ocean_tpu.render.camera import perspective as persp
     from gfx_ocean_tpu.render.mesh import build_grid as bg, instantiate as inst
@@ -456,6 +462,7 @@ def test_pool_overflow_diagnostic_zero_at_default(disp64):
     assert n == 0
 
 
+@pytest.mark.slow
 def test_make_frame_renderer_matches_api_path():
     """The fused serve pipeline == step() -> render_frame -> sRGB."""
     import jax.numpy as jnp2
@@ -536,6 +543,7 @@ def test_pack_key_orders_by_depth_then_id():
     assert (keys[0] & ((1 << id_bits) - 1)) == 7   # id recoverable
 
 
+@pytest.mark.slow
 def test_decode_tri_matches_tables():
     """Arithmetic id->(vertices, corner uvs) decode == the mesh tables."""
     from gfx_ocean_tpu.render.raster import _decode_tri
@@ -611,6 +619,7 @@ def test_pack_key_small_mesh_far_plane():
     assert k[0] < np.uint32(_KEY_MAX)
 
 
+@pytest.mark.slow
 def test_pool_matches_window_low_grazing_camera(disp64):
     """Regression for the packed crossing-bit bleed: a camera skimming
     just above the surface puts fully-front triangles with tiny clip w
@@ -674,6 +683,7 @@ def test_render_frame_q8_flag_changes_shading_not_coverage(disp64):
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_render_frame_honors_config_visual_scales(disp64):
     """height_div/horiz_div/normal_height_scale (the OceanConfig fields
     for the GLSL literals) must reach the render layer: doubling
@@ -737,6 +747,7 @@ def test_pbr_mode_optin_default_unchanged(disp64):
     assert (np.asarray(pbr) - np.asarray(base)).min() >= -1e-6
 
 
+@pytest.mark.slow
 def test_cascade_stack_with_zero_tail_matches_single(disp64):
     """[disp, 0, 0] cascade stack composites to exactly the single-field
     render (zero cascades contribute zero displacement/slope/foam)."""
@@ -792,6 +803,7 @@ def test_cascade_vertex_compositing_matches_numpy_golden():
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_cascade_render_finite_and_covered():
     """End-to-end 3-cascade composited render with per-cascade foam."""
     import jax

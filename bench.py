@@ -112,6 +112,7 @@ def main() -> None:
             "rollout_steps": STEPS,
             "time_batch": TIME_BATCH,
             "matmul_precision": cfg.matmul_precision,
+            "effective_precision": _effective_precision(cfg),
             "fft_impl": cfg.fft_impl,
             "rel_linf_vs_golden": rel_linf,
             "device": str(jax.devices()[0]),
@@ -119,6 +120,15 @@ def main() -> None:
             "sharded_rollout": _sharded_record(),
         },
     }))
+
+
+def _effective_precision(cfg):
+    """The tier that actually ran (the bf16x3 -> HIGH remap above
+    direct_max is invisible otherwise — VERDICT r3 weak #2)."""
+    from gfx_ocean_tpu.ops.fft import effective_precision
+
+    return effective_precision(cfg.matmul_precision, cfg.resolution,
+                               cfg.direct_dft_max, cfg.fft_impl)
 
 
 def _sharded_record():

@@ -31,7 +31,17 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--domain-size", type=float, default=1000.0)
     p.add_argument("--fft-impl", choices=("matmul", "xla", "pallas"), default="matmul")
-    p.add_argument("--precision", choices=("bf16x3", "bf16x4", "highest", "high", "default"), default="bf16x3")
+    p.add_argument("--precision",
+                   choices=("bf16x3", "bf16x4", "highest", "high", "default"),
+                   default="bf16x3",
+                   help="matmul precision tier. NOTE: the explicit-split "
+                        "bf16x3/bf16x4 tiers run as written only in the "
+                        "direct-DFT regime (resolution <= 1024) and inside "
+                        "the Pallas kernels; the four-step einsum stages "
+                        "above that remap them to XLA HIGH/HIGHEST (the "
+                        "split's barriers cost 2.4x there). `bench` reports "
+                        "the tier that actually ran as "
+                        "'effective_precision'.")
     p.add_argument("--cascades", type=int, default=1)
     p.add_argument("--pack", dest="pack", action="store_true", default=None,
                    help="Hermitian field packing (3 fields from 2 transforms); "
@@ -385,8 +395,14 @@ def cmd_bench(args) -> int:
             stats = time_rollout(rollout, state, ts, repeats=1)
     else:
         stats = time_rollout(rollout, state, ts, repeats=args.repeats)
+    from gfx_ocean_tpu.ops.fft import effective_precision
+
     stats.update(resolution=config.resolution, fft_impl=config.fft_impl,
-                 precision=config.matmul_precision, time_batch=args.time_batch)
+                 precision=config.matmul_precision,
+                 effective_precision=effective_precision(
+                     config.matmul_precision, config.resolution,
+                     config.direct_dft_max, config.fft_impl),
+                 time_batch=args.time_batch)
     if mesh_arg is not None:
         stats.update(mesh={"batch": mesh_arg[0], "row": mesh_arg[1]},
                      sharded_fft=args.sharded_fft)

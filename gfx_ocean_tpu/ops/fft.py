@@ -71,6 +71,41 @@ def resolve_precision(name: str):
         raise ValueError(f"unknown matmul precision {name!r}; options: {sorted(_PRECISIONS)}")
 
 
+def effective_precision(precision: str, n: int, direct_max: int = 1024,
+                        impl: str = "matmul") -> str:
+    """The tier that actually executes for an N-point transform.
+
+    The explicit-split "bf16x3"/"bf16x4" tiers run as written only in the
+    direct-DFT regime (N <= ``direct_max``, impl="matmul"). Elsewhere they
+    remap — measured, intentional, and surfaced here so bench records and
+    ``--precision`` users can see the numerics they actually got:
+
+    * impl="matmul", N > direct_max: the four-step einsum stages run XLA
+      HIGH / HIGHEST instead (the split's optimization barriers block
+      stage scheduling and cost 2.4x at 4096^2 — see :func:`_einsum`).
+    * impl="pallas": Mosaic has no HIGH lowering, so "high"/"bf16x3"/
+      "bf16x4" all run the in-kernel manual bf16x3 (``pallas_step._dot3``).
+    * impl="xla": ``jnp.fft`` — the tier does not apply at all.
+
+    Returns the effective tier name, suffixed with the mechanism when it
+    differs from the request.
+    """
+    resolve_precision(precision)  # validate
+    if impl == "xla":
+        return "n/a (XLA FFT kernel; precision tiers do not apply)"
+    if impl == "pallas":
+        if precision in ("high", "bf16x3", "bf16x4"):
+            return ("bf16x3 (in-kernel manual split; Mosaic has no HIGH "
+                    "lowering)" if precision != "bf16x3" else "bf16x3")
+        return precision
+    if n > direct_max and precision in ("bf16x3", "bf16x4"):
+        return ("high (XLA bf16x3; explicit split remapped above "
+                "direct_max)" if precision == "bf16x3" else
+                "highest (XLA bf16x6; explicit split remapped above "
+                "direct_max)")
+    return precision
+
+
 def _round_to_bf16_in_f32(a: jnp.ndarray) -> jnp.ndarray:
     """Round-to-nearest-even to bf16 precision, staying in float32, via
     integer bit manipulation.

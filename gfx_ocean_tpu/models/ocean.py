@@ -136,7 +136,7 @@ def _fields_packed(state: OceanState, t: jax.Array, config: OceanConfig,
 
 def step(state: OceanState, t: jax.Array, config: OceanConfig,
          pre: Optional[jax.Array] = None, ifft2=None,
-         ifft2_planes=None) -> OceanFields:
+         ifft2_planes=None, pallas_disp=None) -> OceanFields:
     """One simulation frame: propagate -> 2D iFFT x3 -> correction (+ extras).
 
     The three spectra are batched into one leading axis so the FFT runs as a
@@ -147,12 +147,18 @@ def step(state: OceanState, t: jax.Array, config: OceanConfig,
     planes (``precompute_propagate``) so rollouts hoist them out of the
     scan — the flip gathers then happen once per rollout, not per frame.
     ``ifft2`` / ``ifft2_planes`` optionally override the 2-D transforms
-    (see ``_fields_from_specs`` / ``_fields_packed``).
+    (see ``_fields_from_specs`` / ``_fields_packed``); ``pallas_disp``
+    overrides the fused Pallas step with a drop-in
+    ``(state, t) -> displacement`` twin — the hook the row-sharded
+    distributed four-step plugs into
+    (``parallel.distributed_fft.pallas_fourstep_fields_sharded``).
     """
     if config.fft_impl == "pallas":
         from gfx_ocean_tpu.ops.pallas_step import pallas_fields  # noqa: PLC0415
 
-        if state.h0.ndim == 3:
+        if pallas_disp is not None:
+            disp = pallas_disp(state, t)
+        elif state.h0.ndim == 3:
             disp = pallas_fields(state.h0, state.omega, t, config)
         else:  # leading batch axes (cascades): map the fused kernel
             disp = jax.vmap(lambda h, o: pallas_fields(h, o, t, config))(

@@ -405,7 +405,7 @@ def _khat_pair_in_kernel(n: int, domain_size: float, wrap: bool,
 
 
 def _fourstep_row_kernel(
-    t_ref,          # SMEM (1, 1) f32
+    t_ref,          # SMEM (1, 2) f32 — [t, global row base]
     pre_ref,        # VMEM (4, B, N) f32 — P1..P4 row band, x-PERMUTED
     preq_ref,       # VMEM (4, B, N) f32 — rho-gathered P1..P4, x-PERMUTED
     om_ref,         # VMEM (B, N) f32 — x-PERMUTED
@@ -423,7 +423,13 @@ def _fourstep_row_kernel(
     Inputs arrive x-permuted (column c = k2*N1 + k1 holds true k =
     k1*N2 + k2, applied once to the time-invariant tables in
     ``_fourstep_fields``), so stage 1 is a pure-view dot and the output
-    flatten (B, n2, n1) -> (B, N) is already the true x order."""
+    flatten (B, n2, n1) -> (B, N) is already the true x order.
+
+    ``t_ref[0, 1]`` is the GLOBAL row index of this array's first row —
+    0 single-chip; ``axis_index * local_rows`` under the row-sharded
+    distributed pipeline (``parallel/distributed_fft``), where the chip
+    sees only its band but the in-kernel k-hat grids must be evaluated
+    at absolute wavenumbers. Exact in f32 for any supported N."""
     dot = _make_dot(precision)
     t = t_ref[0, 0]
     ph = _phase_mod_2pi(om_ref[:, :], t)
@@ -437,9 +443,9 @@ def _fourstep_row_kernel(
     half = jnp.float32(0.5)
     h_r = half * (sr + tr)
     h_i = half * (si - ti)
-    row_off = pl.program_id(0) * block
+    row_off = jnp.float32(pl.program_id(0) * block) + t_ref[0, 1]
     khx, khy, khxq, khyq = _khat_pair_in_kernel(
-        n, domain_size, wrap_k, block, jnp.int32(row_off), perm_n1=n1)
+        n, domain_size, wrap_k, block, row_off, perm_n1=n1)
     dx_r = half * (khx * si + khxq * ti)
     dx_i = half * (khxq * tr - khx * sr)
     dz_r = half * (khy * si + khyq * ti)
@@ -536,27 +542,25 @@ def _fourstep_bands(n: int):
     return 16, 128
 
 
-def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
-                     interpret: bool) -> jnp.ndarray:
-    """Two-kernel four-step pipeline for N >= 1024: fused packed propagate
-    + row pass (grid over row bands), column pass (grid over column bands).
-    Both passes emit true index order (header comment), so the (2, 2, N, N)
-    row-pass planes are the only intermediate HBM traffic and nothing is
-    deferred."""
-    from gfx_ocean_tpu.ops.propagate import precompute_propagate_packed  # noqa: PLC0415
+def _fourstep_plan(n: int, config: OceanConfig):
+    """Static plan for the four-step pipeline: (n1, n2, block, cblock).
 
-    # n1 pinned to the 128-lane width (NOT the FLOP-balanced _split): the
-    # row pass then lands its n1 output factor in lanes with (B, n2, n1)
-    # flattening to TRUE x order, and every reshape/elementwise/dot in
-    # both kernels runs on full lane tiles. The extra arithmetic (cost
-    # ~ n1 + n2 per element) is noise — the pipeline is HBM-bound.
+    n1 pinned to the 128-lane width (NOT the FLOP-balanced _split): the
+    row pass then lands its n1 output factor in lanes with (B, n2, n1)
+    flattening to TRUE x order, and every reshape/elementwise/dot in
+    both kernels runs on full lane tiles. The extra arithmetic (cost
+    ~ n1 + n2 per element) is noise — the pipeline is HBM-bound."""
     n1 = 128
     n2 = n // n1
     block, cblock = _fourstep_bands(n)
-    if n % block or n % cblock or n2 < 8 or n2 > 256:
+    if n % block or n % cblock or n2 < 8 or n2 > 64:
         raise ValueError(
-            f"four-step pallas pipeline supports N in [1024, 32768], got {n}")
-    negate = config.compat.ref_sign
+            f"four-step pallas pipeline supports N in [1024, 8192], got {n}")
+    return n1, n2, block, cblock
+
+
+def _fourstep_tables(n: int, n1: int, n2: int, negate: bool):
+    """The six row-pass + six col-pass DFT/twiddle tables (device consts)."""
     w1r_row, w1i_row = (jnp.asarray(a) for a in
                         _dft_matrix_out_alt_np(n1, 1, 0, False))
     w1r_col, w1i_col = (jnp.asarray(a) for a in
@@ -564,15 +568,24 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
     w2r, w2i = (jnp.asarray(a) for a in _dft_matrix_np(n2, 1))
     ttr_row, tti_row = (jnp.asarray(a) for a in _twiddle_np(n2, n1, 1))
     ttr, tti = (jnp.asarray(a) for a in _twiddle_np(n1, n2, 1))
+    return ((w1r_row, w1i_row, w2r, w2i, ttr_row, tti_row),
+            (w1r_col, w1i_col, w2r, w2i, ttr, tti))
+
+
+def _fourstep_permute_inputs(h0_pair, omega, config: OceanConfig, n: int,
+                             n1: int, n2: int):
+    """Packed-propagate precompute + the four-step x-permutation.
+
+    column c = k2*N1 + k1 <- true k = k1*N2 + k2. Time-invariant, hoisted
+    out of rollout scans by XLA's loop-invariant motion, so the row
+    kernel's stage-1 view is free at step time. Expressed as a gather on
+    a 1-D index constant, NOT reshape/swapaxes: the transpose form
+    defeats LICM at N >= 2048 (measured 469 vs 624 steps/s at 2048^2)
+    while the gather hoists just like precompute's rho-flip does."""
+    from gfx_ocean_tpu.ops.propagate import precompute_propagate_packed  # noqa: PLC0415
+
     pre, pre_rho, omega_rho = precompute_propagate_packed(
         h0_pair, omega, config.compat)
-
-    # column c = k2*N1 + k1 <- true k = k1*N2 + k2. Time-invariant, hoisted
-    # out of rollout scans by XLA's loop-invariant motion, so the row
-    # kernel's stage-1 view is free at step time. Expressed as a gather on
-    # a 1-D index constant, NOT reshape/swapaxes: the transpose form
-    # defeats LICM at N >= 2048 (measured 469 vs 624 steps/s at 2048^2)
-    # while the gather hoists just like precompute's rho-flip does.
     perm_idx = jnp.asarray(
         (np.arange(n, dtype=np.int32) % n1) * n2
         + np.arange(n, dtype=np.int32) // n1)
@@ -580,22 +593,29 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
     def permute_x(a):
         return jnp.take(a, perm_idx, axis=-1)
 
-    pre = permute_x(pre)
-    pre_rho = permute_x(pre_rho)
-    omega_p = permute_x(omega)
-    omega_rho = permute_x(omega_rho)
+    return (permute_x(pre), permute_x(pre_rho), permute_x(omega),
+            permute_x(omega_rho))
 
+
+_VMEM_HINT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _fourstep_row_call(t2, pre, pre_rho, omega_p, omega_rho, tabs,
+                       config: OceanConfig, n: int, n1: int, n2: int,
+                       block: int, interpret: bool) -> jnp.ndarray:
+    """Row-pass pallas_call over the (possibly shard-local) rows of
+    ``pre``; ``t2`` is the (1, 2) [t, global row base] SMEM scalar pair."""
+    rows = pre.shape[-2]
     vmem = pltpu.VMEM
-    vmem_hint = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     row_kernel = functools.partial(
         _fourstep_row_kernel, n=n, n1=n1, n2=n2, block=block,
         domain_size=float(config.domain_size), wrap_k=config.compat.wrap_k,
         precision=config.matmul_precision)
     tabspec = pl.BlockSpec(memory_space=vmem)
-    y = pl.pallas_call(
+    return pl.pallas_call(
         row_kernel,
-        grid=(n // block,),
-        out_shape=jax.ShapeDtypeStruct((2, 2, n, n), jnp.float32),
+        grid=(rows // block,),
+        out_shape=jax.ShapeDtypeStruct((2, 2, rows, n), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((4, block, n), lambda i: (0, i, 0), memory_space=vmem),
@@ -607,22 +627,30 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
         out_specs=pl.BlockSpec((2, 2, block, n), lambda i: (0, 0, i, 0),
                                memory_space=vmem),
         interpret=interpret,
-        compiler_params=vmem_hint,
+        compiler_params=_VMEM_HINT,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * 8 * block * n * (n1 + n2),
             bytes_accessed=(10 * block * n + 4 * block * n) * 4,
             transcendentals=4 * block * n,
         ),
-    )(t_arr, pre, pre_rho, omega_p, omega_rho,
-      w1r_row, w1i_row, w2r, w2i, ttr_row, tti_row)
+    )(t2, pre, pre_rho, omega_p, omega_rho, *tabs)
 
+
+def _fourstep_col_call(y, tabs, config: OceanConfig, n: int, n1: int,
+                       n2: int, cblock: int, interpret: bool) -> jnp.ndarray:
+    """Column-pass pallas_call over the (possibly shard-local) columns of
+    ``y``. The column kernel has no column-position dependence (its tables
+    are per-ROW), so any contiguous column band computes locally."""
+    cols = y.shape[-1]
+    vmem = pltpu.VMEM
     col_kernel = functools.partial(
         _fourstep_col_kernel, n=n, n1=n1, n2=n2,
         precision=config.matmul_precision)
-    planes = pl.pallas_call(
+    tabspec = pl.BlockSpec(memory_space=vmem)
+    return pl.pallas_call(
         col_kernel,
-        grid=(n // cblock,),
-        out_shape=jax.ShapeDtypeStruct((3, n, n), jnp.float32),
+        grid=(cols // cblock,),
+        out_shape=jax.ShapeDtypeStruct((3, n, cols), jnp.float32),
         in_specs=[
             pl.BlockSpec((2, 2, n, cblock), lambda j: (0, 0, 0, j),
                          memory_space=vmem),
@@ -631,14 +659,31 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
         out_specs=pl.BlockSpec((3, n, cblock), lambda j: (0, 0, j),
                                memory_space=vmem),
         interpret=interpret,
-        compiler_params=vmem_hint,
+        compiler_params=_VMEM_HINT,
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * 4 * cblock * n * (n1 + n2),
             bytes_accessed=(4 * n * cblock + 3 * n * cblock) * 4,
             transcendentals=0,
         ),
-    )(y, w1r_col, w1i_col, w2r, w2i, ttr, tti)
-    return planes
+    )(y, *tabs)
+
+
+def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
+                     interpret: bool) -> jnp.ndarray:
+    """Two-kernel four-step pipeline for N >= 1024: fused packed propagate
+    + row pass (grid over row bands), column pass (grid over column bands).
+    Both passes emit true index order (header comment), so the (2, 2, N, N)
+    row-pass planes are the only intermediate HBM traffic and nothing is
+    deferred."""
+    n1, n2, block, cblock = _fourstep_plan(n, config)
+    row_tabs, col_tabs = _fourstep_tables(n, n1, n2, config.compat.ref_sign)
+    pre, pre_rho, omega_p, omega_rho = _fourstep_permute_inputs(
+        h0_pair, omega, config, n, n1, n2)
+    t2 = jnp.concatenate([t_arr, jnp.zeros((1, 1), jnp.float32)], axis=1)
+    y = _fourstep_row_call(t2, pre, pre_rho, omega_p, omega_rho, row_tabs,
+                           config, n, n1, n2, block, interpret)
+    return _fourstep_col_call(y, col_tabs, config, n, n1, n2, cblock,
+                              interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -99,17 +100,48 @@ def _make_shard_map_ifft2(config: OceanConfig, mesh: Mesh, batched: bool):
     return ifft2, ifft2_planes
 
 
+def _make_pallas_disp(config: OceanConfig, mesh: Mesh, batched: bool):
+    """Drop-in ``step(pallas_disp=...)`` hook running the fused four-step
+    Pallas pipeline shard-locally with explicit all_to_all transposes
+    (``parallel.distributed_fft.pallas_fourstep_fields_sharded``).
+
+    Cascade batches run as a static Python loop of per-cascade sharded
+    pipelines (cascade counts are small and static); the batch is
+    REPLICATED over the mesh — shard rows, not cascades, when running
+    the Pallas path distributed."""
+    from gfx_ocean_tpu.parallel.distributed_fft import (  # noqa: PLC0415
+        pallas_fourstep_fields_sharded)
+
+    if mesh.shape.get("batch", 1) != 1:
+        raise ValueError(
+            "fft='shard_map' with fft_impl='pallas' shards rows only; "
+            "use a mesh with batch=1 (cascades are replicated)")
+
+    def disp(state, t):
+        if state.h0.ndim == 3:
+            return pallas_fourstep_fields_sharded(
+                state.h0, state.omega, t, config, mesh, axis_name="row")
+        return jnp.stack([
+            pallas_fourstep_fields_sharded(
+                state.h0[c], state.omega[c], t, config, mesh,
+                axis_name="row")
+            for c in range(state.h0.shape[0])])
+
+    return disp
+
+
 def _resolve_fft(config: OceanConfig, mesh: Mesh, batched: bool, fft: str):
-    """Returns the ``(ifft2, ifft2_planes)`` hook pair (or (None, None)
-    for GSPMD). The packed (``hermitian_pack``) configuration is fully
-    supported under both strategies — the 4096^2-class setup runs on the
-    explicit-collective transform too."""
+    """Returns the ``(ifft2, ifft2_planes, pallas_disp)`` hook triple
+    (all None for GSPMD). The packed (``hermitian_pack``) configuration is
+    fully supported under both strategies — the 4096^2-class setup runs on
+    the explicit-collective transform too; ``fft_impl='pallas'`` runs the
+    fused four-step kernels shard-locally around pinned all_to_alls."""
     if fft == "gspmd":
-        return None, None
+        return None, None, None
     if fft == "shard_map":
         if config.fft_impl == "pallas":
-            raise ValueError("fft='shard_map' applies to the matmul/xla paths")
-        return _make_shard_map_ifft2(config, mesh, batched)
+            return None, None, _make_pallas_disp(config, mesh, batched)
+        return (*_make_shard_map_ifft2(config, mesh, batched), None)
     raise ValueError(f"fft must be 'gspmd' or 'shard_map', got {fft!r}")
 
 
@@ -127,7 +159,7 @@ def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True,
     hand-scheduled distributed FFT (``parallel/distributed_fft.py``) —
     pinned all_to_all transposes, same numerics.
     """
-    ifft2, ifft2_planes = _resolve_fft(config, mesh, batched, fft)
+    ifft2, ifft2_planes, pallas_disp = _resolve_fft(config, mesh, batched, fft)
     specs = state_specs(batched)
     field_spec = (P("batch", "row", None, None) if batched
                   else P("row", None, None))
@@ -138,7 +170,8 @@ def make_sharded_step(config: OceanConfig, mesh: Mesh, batched: bool = True,
                     None)
 
     def fn(state: OceanState, t):
-        return step(state, t, config, ifft2=ifft2, ifft2_planes=ifft2_planes)
+        return step(state, t, config, ifft2=ifft2, ifft2_planes=ifft2_planes,
+                    pallas_disp=pallas_disp)
 
     # Outputs: displacement (..., N, N, 3), normals (..., N, N, 3),
     # foam (..., N, N) — shard rows, replicate channels.
@@ -169,18 +202,16 @@ def make_sharded_rollout(config: OceanConfig, mesh: Mesh, batched: bool = True,
     row-sharded, so hoisting makes it once-per-rollout instead of
     once-per-frame (verified on the HLO: no ppermute inside the scan body).
     """
-    import jax.numpy as jnp  # noqa: PLC0415
-
     from gfx_ocean_tpu.models.ocean import _precompute  # noqa: PLC0415
 
-    ifft2, ifft2_planes = _resolve_fft(config, mesh, batched, fft)
+    ifft2, ifft2_planes, pallas_disp = _resolve_fft(config, mesh, batched, fft)
     specs = state_specs(batched)
     state_sharding = OceanState(h0=NamedSharding(mesh, specs.h0),
                                 omega=NamedSharding(mesh, specs.omega))
 
     def one(state, t, pre):
         fields = step(state, t, config, pre=pre, ifft2=ifft2,
-                      ifft2_planes=ifft2_planes)
+                      ifft2_planes=ifft2_planes, pallas_disp=pallas_disp)
         out = jnp.sum(fields.displacement, dtype=jnp.float32)
         if fields.normals is not None:
             out = out + jnp.sum(fields.normals, dtype=jnp.float32)

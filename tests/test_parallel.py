@@ -310,3 +310,77 @@ def test_sharded_batch_renderer_bit_equal(mesh8):
     np.testing.assert_array_equal(got, want)
     with pytest.raises(ValueError, match="frame count"):
         fn(state, ts[:3], vps[:3], cps[:3])   # 3 % batch=2 != 0
+
+
+@pytest.mark.slow
+def test_sharded_pallas_fourstep_step(rng):
+    """fft_impl='pallas' under fft='shard_map': the fused four-step
+    kernels run shard-locally around pinned all_to_all transposes
+    (row kernel local -> transpose -> col kernel local — the distributed
+    form of the reference's row/col dispatch split,
+    src/render.rs:1158-1231). Must match (a) the single-chip Pallas step
+    bit-for-bit (identical per-block math, only distributed) and (b) the
+    distributed matmul-DFT step at four-step accuracy."""
+    from gfx_ocean_tpu.ops.pallas_step import pallas_fields
+
+    mesh = make_mesh(batch=1, row=8)
+    n = 1024
+    state = _rand_state(rng, n)
+    t = jnp.float32(2.0)
+    cfg_p = OceanConfig(resolution=n, fft_impl="pallas",
+                        matmul_precision="highest", compute_normals=False)
+    cfg_m = OceanConfig(resolution=n, fft_impl="matmul", hermitian_pack=False,
+                        matmul_precision="highest", compute_normals=False)
+    sstate = shard_state(state, mesh)
+    got = np.asarray(make_sharded_step(cfg_p, mesh, batched=False,
+                                       fft="shard_map")(sstate, t).displacement)
+    single = np.asarray(pallas_fields(state.h0, state.omega, t, cfg_p,
+                                      interpret=True))
+    assert np.abs(got - single).max() / np.abs(single).max() < 1e-7, (
+        "distributed-pallas != single-chip pallas")
+    dist_m = np.asarray(make_sharded_step(cfg_m, mesh, batched=False,
+                                          fft="shard_map")(sstate, t).displacement)
+    rel = np.abs(got - dist_m).max() / np.abs(dist_m).max()
+    assert rel < 1e-6, f"distributed-pallas vs distributed-matmul: {rel:.2e}"
+
+
+@pytest.mark.slow
+def test_sharded_pallas_fourstep_rollout_and_cascades(rng):
+    """The pallas+shard_map rollout scans with hoisted precompute; the
+    cascade batch (replicated over the mesh) loops per-cascade sharded
+    pipelines and must equal the unbatched run per cascade."""
+    mesh = make_mesh(batch=1, row=8)
+    n = 1024
+    state = _rand_state(rng, n)
+    cfg_p = OceanConfig(resolution=n, fft_impl="pallas",
+                        matmul_precision="highest", compute_normals=False)
+    ts = jnp.arange(2, dtype=jnp.float32) * 0.5
+    sstate = shard_state(state, mesh)
+    cks = np.asarray(make_sharded_rollout(cfg_p, mesh, batched=False,
+                                          fft="shard_map")(sstate, ts))
+    assert cks.shape == (2,) and np.all(np.isfinite(cks))
+
+    t = jnp.float32(2.0)
+    got1 = np.asarray(make_sharded_step(cfg_p, mesh, batched=False,
+                                        fft="shard_map")(sstate, t).displacement)
+    state_c = OceanState(h0=jnp.stack([state.h0, state.h0]),
+                         omega=jnp.stack([state.omega, state.omega]))
+    got_c = np.asarray(make_sharded_step(cfg_p, mesh, batched=True,
+                                         fft="shard_map")(
+        shard_state(state_c, mesh), t).displacement)
+    assert got_c.shape == (2, n, n, 3)
+    np.testing.assert_array_equal(got_c[0], got_c[1])
+    np.testing.assert_array_equal(got_c[0], got1)
+
+
+def test_sharded_pallas_validation(rng, mesh8):
+    """batch > 1 meshes and non-divisible row counts must raise."""
+    cfg_p = OceanConfig(resolution=1024, fft_impl="pallas")
+    with pytest.raises(ValueError, match="batch=1"):
+        make_sharded_step(cfg_p, mesh8, fft="shard_map")   # mesh8 has batch=2
+    mesh = make_mesh(batch=1, row=8)
+    cfg_small = OceanConfig(resolution=256, fft_impl="pallas")
+    state = _rand_state(rng, 256)
+    with pytest.raises(ValueError, match="four-step"):
+        make_sharded_step(cfg_small, mesh, batched=False, fft="shard_map")(
+            shard_state(state, mesh), jnp.float32(1.0))

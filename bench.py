@@ -147,7 +147,7 @@ def _sharded_record():
                    XLA_FLAGS="--xla_force_host_platform_device_count=8")
         out = subprocess.run(
             [sys.executable, "-m", "gfx_ocean_tpu", "bench",
-             "--resolution", "256", "--steps", "8", "--repeats", "1",
+             "--resolution", "512", "--steps", "8", "--repeats", "1",
              "--time-batch", "1", "--mesh", "2,4"],
             capture_output=True, text=True, timeout=420, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)), check=True)

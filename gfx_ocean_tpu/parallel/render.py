@@ -36,14 +36,14 @@ from gfx_ocean_tpu.render.raster import _fused_frame_fn
 
 def _band_frame_fn(config: OceanConfig, width: int, height: int,
                    giants: int, pool: int | None, band_axis: str,
-                   n_bands: int):
+                   n_bands: int, diag: bool = False):
     """One fused step -> band rasterize -> sRGB body for the device's
     band (``jax.lax.axis_index(band_axis)`` picks the rows). This IS
     the single-chip ``render.raster._fused_frame_fn`` with the band
     parameters set — one body, so the sharded/single-chip BIT-equality
     contract can't drift."""
     return _fused_frame_fn(config, width, height, giants, pool,
-                           band_axis=band_axis, n_bands=n_bands)
+                           band_axis=band_axis, n_bands=n_bands, diag=diag)
 
 
 def make_sharded_frame_renderer(
@@ -54,6 +54,7 @@ def make_sharded_frame_renderer(
     giants: int = 512,
     pool: int | None = None,
     axis: str = "row",
+    diag: bool = False,
 ):
     """Jitted fused step -> band rasterize -> sRGB over a device mesh.
 
@@ -64,21 +65,35 @@ def make_sharded_frame_renderer(
     ``make_frame_renderer(config, width, height, giants)`` on one chip
     (asserted in tests and ``__graft_entry__.dryrun_multichip``).
 
+    With ``diag=True`` returns ``(frame, dropped)`` where ``dropped`` is
+    the per-band (n_bands,) count of giant-pass candidates past capacity
+    — the in-graph tripwire for the band bit-equality contract (a band
+    whose pool overflow out-runs ``giants`` silently loses coverage;
+    any nonzero entry means this frame may differ from single-chip).
+
     ``view_proj`` must be built with the FULL viewport aspect
     (``perspective(width / height)``), exactly as for the single-chip
     renderer — bands crop the sample grid, not the projection.
     """
     band_fn = _band_frame_fn(config, width, height, giants, pool, axis,
-                             mesh.shape[axis])
+                             mesh.shape[axis], diag=diag)
     rep = P()
     state_specs = OceanState(h0=rep, omega=rep)
+    if diag:
+        def body(state, t, vp, cp):
+            frame, dropped = band_fn(state, t, vp, cp)
+            return frame, dropped[None]          # (1,) per band -> (D,)
+        out_specs = (P(axis), P(axis))
+    else:
+        body = band_fn
+        out_specs = P(axis)
     # check_vma=False: the band body calls the jitted _rasterize_pool,
     # whose inner jit does not carry varying-mesh-axes metadata; the
     # out_specs contract (rows vary over ``axis`` only) is asserted
     # bit-exactly against the single-chip renderer in tests instead.
-    fn = shard_map(band_fn, mesh=mesh,
+    fn = shard_map(body, mesh=mesh,
                    in_specs=(state_specs, rep, rep, rep),
-                   out_specs=P(axis), check_vma=False)
+                   out_specs=out_specs, check_vma=False)
     return jax.jit(fn)
 
 

@@ -105,6 +105,12 @@ class FrameService:
         self.frames_served = 0
         self.errors = 0
         self.latency_ema = Ema()
+        # Coverage-contract tripwire (raster._rasterize_pool with_diag):
+        # giant-pass candidates dropped past capacity, per frame. Any
+        # nonzero means the served frame may have lost exact coverage
+        # (and, under --mesh, band/single-chip bit-equality).
+        self.giant_dropped_last = 0
+        self.giant_dropped_max = 0
 
     def fields(self, t: float):
         import jax.numpy as jnp
@@ -160,10 +166,11 @@ class FrameService:
 
                     fn = make_sharded_frame_renderer(
                         self.config, self.mesh, width=width, height=height,
-                        giants=giants)
+                        giants=giants, diag=True)
                 else:
                     fn = make_frame_renderer(self.config, width=width,
-                                             height=height, giants=giants)
+                                             height=height, giants=giants,
+                                             diag=True)
                 cam = Camera()
                 vp = (perspective(width / height) @ cam.view()).astype(
                     np.float32)
@@ -217,7 +224,7 @@ class FrameService:
             with self._lock:
                 view_proj = (perspective(width / height)
                              @ camera.view()).astype(np.float32)
-                srgb_dev = fn(
+                srgb_dev, dropped_dev = fn(
                     self._render_state, jnp.float32(t),
                     jnp.asarray(view_proj),
                     jnp.asarray(camera.position.astype(np.float32)))
@@ -226,9 +233,12 @@ class FrameService:
             # overlaps this frame's download (the viewer keeps two frames
             # in flight to exploit this).
             srgb = np.asarray(srgb_dev)
+            dropped = int(np.max(np.asarray(dropped_dev)))
             with self._meter_lock:
                 self.latency_ema.update(time.perf_counter() - t0)
                 self.frames_served += 1
+                self.giant_dropped_last = dropped
+                self.giant_dropped_max = max(self.giant_dropped_max, dropped)
         else:
             from gfx_ocean_tpu.render import render_frame  # noqa: PLC0415
 
@@ -259,6 +269,8 @@ class FrameService:
         return {
             "frames_served": self.frames_served,
             "errors": self.errors,
+            "giant_dropped_last": self.giant_dropped_last,
+            "giant_dropped_max": self.giant_dropped_max,
             "latency_ema_sec": round(self.latency_ema.value, 6),
             "device": str(jax.devices()[0]),
             "resolution": self.config.resolution,

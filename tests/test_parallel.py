@@ -384,3 +384,48 @@ def test_sharded_pallas_validation(rng, mesh8):
     with pytest.raises(ValueError, match="four-step"):
         make_sharded_step(cfg_small, mesh, batched=False, fft="shard_map")(
             shard_state(state, mesh), jnp.float32(1.0))
+
+
+@pytest.mark.slow
+def test_band_fuzz_adversarial_poses_diag_clean(mesh8):
+    """Band fuzz at adversarial poses with the in-graph coverage
+    tripwire (VERDICT r3 weak #4 / next #4): horizon crossing band
+    edges, grazing camera, camera pitched past the horizon. For every
+    pose the sharded frame must (a) report ZERO giant-pass drops via
+    ``diag=True`` — the in-graph counter that would have caught the
+    b478bf3 horizon-band overflow without a hardware sweep — and (b)
+    stay bit-equal to the single-chip frame. ``giants`` is deliberately
+    small (16) so a band whose overflow out-ran absorption WOULD trip
+    the counter rather than hide behind a roomy default."""
+    from gfx_ocean_tpu.models.ocean import (downsample_state,
+                                            ocean_state_from_assets)
+    from gfx_ocean_tpu.parallel.render import make_sharded_frame_renderer
+    from gfx_ocean_tpu.render.camera import Camera, perspective
+    from gfx_ocean_tpu.render.raster import make_frame_renderer
+
+    cfg = OceanConfig(resolution=64, mesh_resolution=32)
+    state = downsample_state(ocean_state_from_assets(), 64)
+    W, H = 96, 64
+    t = jnp.float32(7.0)
+    one = make_frame_renderer(cfg, W, H, giants=16)
+    band = make_sharded_frame_renderer(cfg, mesh8, W, H, giants=16,
+                                       axis="row", diag=True)
+    poses = [
+        (-0.6, -1.5),    # default pose
+        (-0.05, -1.5),   # horizon near the top band edge
+        (-0.35, -1.5),   # horizon mid-frame (crosses an interior band)
+        (0.25, -1.5),    # pitched above the horizon (sky-heavy, grazing)
+        (-1.2, -0.3),    # steep down-look, rotated
+    ]
+    for rx, ry in poses:
+        cam = Camera()
+        cam.rotation = np.array([rx, ry, 0.0])
+        vp = jnp.asarray((perspective(W / H) @ cam.view()).astype(np.float32))
+        cp = jnp.asarray(cam.position.astype(np.float32))
+        want = np.asarray(one(state, t, vp, cp))
+        got, dropped = band(state, t, vp, cp)
+        dropped = np.asarray(dropped)
+        assert dropped.shape == (4,) and (dropped == 0).all(), (
+            f"pose ({rx}, {ry}): giant-pass drops per band {dropped}")
+        np.testing.assert_array_equal(np.asarray(got), want,
+                                      err_msg=f"pose ({rx}, {ry})")

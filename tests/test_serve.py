@@ -284,9 +284,10 @@ def test_renderer_cache_churn():
     builds = []
     real = raster_mod.make_frame_renderer
 
-    def counting(config, width=480, height=280, giants=512, pool=None):
+    def counting(config, width=480, height=280, giants=512, pool=None,
+                 **kw):
         builds.append(width)
-        return real(config, width, height, giants, pool)
+        return real(config, width, height, giants, pool, **kw)
 
     raster_mod.make_frame_renderer = counting
     try:
@@ -316,10 +317,11 @@ def test_renderer_cache_churn():
         # Phase C: a cold key whose build stalls for 3 s (compile-time
         # stand-in) must not block a concurrent client on the hot key —
         # builds run outside the dispatch lock under a per-key lock.
-        def slow_build(config, width=480, height=280, giants=512, pool=None):
+        def slow_build(config, width=480, height=280, giants=512, pool=None,
+                       **kw):
             builds.append(width)
             _time.sleep(3.0)
-            return real(config, width, height, giants, pool)
+            return real(config, width, height, giants, pool, **kw)
 
         raster_mod.make_frame_renderer = slow_build
         with cf.ThreadPoolExecutor(2) as ex:

@@ -399,12 +399,45 @@ def _giant_pass(clip, tris_all, score, key_img, width: int,
     groups_needed = (n_active + _GIANT_GROUP - 1) // _GIANT_GROUP
     pnx_f, pny_f = _pixel_ndc(width, height, y_origin, full_height)
 
+    crossing_g = jnp.isinf(score)
+    fh = height if full_height is None else full_height
+    jx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2)
+    jy = (jax.lax.broadcasted_iota(jnp.int32, (1, height, 1), 1)
+          + jnp.asarray(y_origin, jnp.int32))
+
     def giant_group(kb, ix, ok):
         v_clip = clip[tris_all[ix]]                     # (G, 3, 4)
         lam0, lam1, lam2, _ = _lambdas(v_clip, pnx_f[None], pny_f[None], 2)
         denom = lam0 + lam1 + lam2                      # (G, H, W)
         hit = ((lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0)
                & (denom > 0)) & ok[:, None, None]
+        # Finite-score giants (pool overflow / window over-budget) are
+        # FULLY-FRONT triangles the slot/window walks would have masked
+        # to their TIGHT pixel-center bbox — apply the same mask here,
+        # or a pixel center an epsilon outside the projected extent can
+        # round to a hit that the in-pool path (correctly) never
+        # evaluates, making coverage depend on WHICH path absorbed the
+        # triangle (measured as pool-vs-window diffs at 1200x700; also a
+        # band/full hazard if overflow ever differs per band). Crossing
+        # triangles (score inf) keep the unbounded test — their
+        # projected extent wraps through infinity, so no finite bbox
+        # exists and BOTH impls give them to this pass.
+        # Same expressions as the pool bbox (sx/sy/ceil/floor), so an
+        # overflow triangle's mask here is bit-identical to the mask the
+        # slot walk would have applied. Crossing giants divide by w <= 0
+        # here — the garbage bbox is ORed away by ``cross``.
+        wv = v_clip[..., 3]
+        sxg = (v_clip[..., 0] / wv * 0.5 + 0.5) * width
+        syg = (v_clip[..., 1] / wv * 0.5 + 0.5) * fh
+        x0g = jnp.ceil(sxg.min(-1) - 0.5)[:, None, None]
+        x1g = jnp.floor(sxg.max(-1) - 0.5)[:, None, None]
+        y0g = jnp.ceil(syg.min(-1) - 0.5)[:, None, None]
+        y1g = jnp.floor(syg.max(-1) - 0.5)[:, None, None]
+        cross = crossing_g[ix][:, None, None]
+        jxf = jx.astype(jnp.float32)
+        jyf = jy.astype(jnp.float32)
+        in_box = ((jxf >= x0g) & (jxf <= x1g) & (jyf >= y0g) & (jyf <= y1g))
+        hit = hit & (cross | in_box)
         lam_w = (lam0 * v_clip[:, None, None, 0, 3]
                  + lam1 * v_clip[:, None, None, 1, 3]
                  + lam2 * v_clip[:, None, None, 2, 3])
@@ -589,11 +622,19 @@ def _slot_kernel(cov_ref, crow_ref, key_ref, oct_ref, *,
     entry cut the resolve from 9.3 to ~3 ms at 1200x700. Pixels outside
     the triangle's TIGHT bbox are masked explicitly (not left to the
     edge tests): a pixel center epsilon outside the projected extent
-    could round to a hit in f32, and the window impl never evaluates
-    such pixels — masking keeps coverage equality EXACT. In-bbox pixels
-    evaluate the FULL edge expressions (the literal mul/add sequence of
-    the window impl, f32), so coverage equality holds bit-for-bit;
-    verified by the pool==window drive and fuzz camera sweeps."""
+    could round to a hit in f32, and neither the window walk nor the
+    giant pass evaluates such pixels (both share the tight-bbox
+    semantics) — masking keeps the evaluated pixel set identical.
+    In-bbox pixels evaluate the FULL edge expressions (the same symbolic
+    mul/add sequence as the window impl, f32). Pool==window equality is
+    exact at the drive/fuzz shapes (0 diffs on hardware at 480x280
+    poses); at 1200x700 the two impls are SEPARATELY COMPILED programs
+    and f32 near-ties can flip (measured 19/840000 on CPU, 1/840000 on
+    TPU — every one within a single quantized-z quantum or on a grazing
+    edge; test_pool_window_near_tie_bound pins that envelope). The
+    contract that must be BIT-exact — band/full-frame equality, which
+    runs ONE program — is exact by the vectorized-sub-lane construction
+    below."""
     base = pl.program_id(0) * bl
     l_i = jax.lax.broadcasted_iota(jnp.int32, (1, bl), 1)
     slot = base + l_i
@@ -1094,13 +1135,21 @@ def _rasterize(displacement, positions, uvs, tris, view_proj, camera_pos,
         sx = (v_clip[..., 0] / w_safe * 0.5 + 0.5) * width
         sy = (v_clip[..., 1] / w_safe * 0.5 + 0.5) * height
 
-        x_min = jnp.floor(jnp.min(sx, axis=-1)).astype(jnp.int32)
-        y_min = jnp.floor(jnp.min(sy, axis=-1)).astype(jnp.int32)
-        bw = (jnp.floor(jnp.max(sx, axis=-1)).astype(jnp.int32) - x_min
-              + 1).clip(1)
+        # TIGHT pixel-center bbox (identical to the pool impl's): ceil
+        # of (min - 0.5) .. floor of (max - 0.5). The earlier
+        # floor(min)-anchored walk evaluated pixel centers an epsilon
+        # OUTSIDE the projected extent, where the f32 edge test can
+        # round to a hit the pool (correctly) never evaluates — measured
+        # as 2/840000 spurious-coverage diffs at 1200x700.
+        x_min = jnp.ceil(jnp.min(sx, axis=-1) - 0.5).astype(jnp.int32)
+        y_min = jnp.ceil(jnp.min(sy, axis=-1) - 0.5).astype(jnp.int32)
+        x_max = jnp.floor(jnp.max(sx, axis=-1) - 0.5).astype(jnp.int32)
+        y_max = jnp.floor(jnp.max(sy, axis=-1) - 0.5).astype(jnp.int32)
+        bw = (x_max - x_min + 1).clip(1)
         px = x_min[:, None] + gk[None] % bw[:, None]   # (C, K)
         py = y_min[:, None] + gk[None] // bw[:, None]
-        on_screen = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+        on_screen = ((px >= 0) & (px < width) & (py >= 0) & (py < height)
+                     & (px <= x_max[:, None]) & (py <= y_max[:, None]))
         pnx, pny = ndc_xy(px.astype(jnp.float32) + 0.5,
                           py.astype(jnp.float32) + 0.5)
 

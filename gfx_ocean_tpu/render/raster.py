@@ -744,6 +744,84 @@ def _slot_stage(crow, total_covered, pool: int, width: int,
     return keys[:, :pool], octs[0, :pool]
 
 
+def _segmin_kernel(so_ref, sn_ref, sk_ref, skey_ref, min_ref, co_ref, cm_ref,
+                   *, bl: int, n_oct: int):
+    """Segmented component-wise min over oct runs, one HBM pass.
+
+    Inputs are the oct-sorted resolve arrays: ``so`` (run ids,
+    ascending), ``sn`` (so shifted left by one — the next element's id,
+    so run-LAST detection needs no cross-block peek), and the 8 key
+    columns SIGN-FLIPPED into int32 (Mosaic has no unsigned min; XOR of
+    the sign bit makes i32 order == u32 order). The TPU grid runs
+    blocks SEQUENTIALLY, so scratch carries the open run's id and its
+    running component mins across block boundaries — the in-block
+    prefix-min is a log-shift over (8, bl) in VMEM (sorted ids make the
+    same-run test a single lag compare). Outputs: per-element prefix
+    mins (run min lands on the run-last row) and the compaction sort
+    key (oct id at run-lasts, the ``n_oct`` sentinel elsewhere)."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        co_ref[0, 0] = jnp.int32(-1)                # no oct id is -1
+        cm_ref[:, :] = jnp.full((8, 128), 0x7FFFFFFF, jnp.int32)
+
+    so = so_ref[0:1, :]
+    m = sk_ref[:, :]
+    k = 1
+    while k < bl:
+        same = jnp.concatenate(
+            [jnp.full((1, k), -1, jnp.int32), so[:, :-k]], axis=1) == so
+        sh = jnp.concatenate(
+            [jnp.full((8, k), 0x7FFFFFFF, jnp.int32), m[:, :-k]], axis=1)
+        m = jnp.minimum(m, jnp.where(same, sh, jnp.int32(0x7FFFFFFF)))
+        k *= 2
+    m = jnp.where(so == co_ref[0, 0], jnp.minimum(m, cm_ref[:, 0:1]), m)
+    run_last = so != sn_ref[0:1, :]
+    skey_ref[0:1, :] = jnp.where(run_last, so, jnp.int32(n_oct))
+    min_ref[:, :] = m
+    co_ref[0, 0] = so[0, bl - 1]
+    cm_ref[:, :] = jnp.broadcast_to(m[:, bl - 1:bl], (8, 128))
+
+
+def _segmin_stage(so, sk, n_oct: int, bl: int = 8192):
+    """Run ``_segmin_kernel`` over the sorted resolve arrays; returns
+    (mins (8, n) uint32, skey (n,) int32). Padding rides the spill run
+    (id ``n_oct``) so it can never merge with, or split, a real oct
+    run."""
+    n = so.shape[0]
+    n_pad = -(-n // bl) * bl
+    so_p = jnp.concatenate([so, jnp.full((n_pad - n,), n_oct, jnp.int32)])
+    sn_p = jnp.concatenate([so_p[1:], jnp.full((1,), -2, jnp.int32)])
+    flip = jnp.int32(-0x80000000)
+    sk_p = jnp.concatenate(
+        [sk, jnp.full((8, n_pad - n), _KEY_MAX, jnp.uint32)], axis=1)
+    sk_f = jax.lax.bitcast_convert_type(sk_p, jnp.int32) ^ flip
+    kern = functools.partial(_segmin_kernel, bl=bl, n_oct=n_oct)
+    interpret = jax.default_backend() == "cpu"
+    skey, mins = pl.pallas_call(
+        kern,
+        grid=(n_pad // bl,),
+        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((8, n_pad), jnp.int32)),
+        in_specs=[pl.BlockSpec((1, bl), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, bl), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, bl), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, bl), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, bl), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32),
+                        pltpu.VMEM((8, 128), jnp.int32)],
+        interpret=interpret,
+    )(so_p.reshape(1, n_pad), sn_p.reshape(1, n_pad), sk_f)
+    mins_u = jax.lax.bitcast_convert_type(mins ^ flip, jnp.uint32)
+    return mins_u[:, :n], skey[0, :n]
+
+
 def _auto_pool(width: int, height: int, bands: int = 1) -> int:
     """Slot pool (one slot = a 4x2-pixel OCT tile) sized to ~0.75 slots
     per viewport pixel, floored at 2^18. The default 1200x700 pose
@@ -956,10 +1034,13 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     #      owns a run) by oct id; the 8 key columns ride as payload
     #      (component-wise mins are order-invariant, so is_stable=False
     #      is deterministic),
-    #   2. segmented component-wise min over each oct run (log-shift
-    #      prefix-min — the run minimum lands on the run's LAST entry;
-    #      identical winner per pixel to a scatter-min by associativity
-    #      of min),
+    #   2. segmented component-wise min over each oct run — the run
+    #      minimum lands on the run's LAST entry; identical winner per
+    #      pixel to a scatter-min by associativity of min. ONE Pallas
+    #      pass (``_segmin_stage``) carrying run state across blocks in
+    #      scratch: the XLA log-shift form was ~107 dispatched ops /
+    #      0.76 ms device per frame, the kernel is 16 ops / 0.31 ms
+    #      (measured, tools/prof_segmin.py),
     #   3. compact the run-last rows into oct order with a second sort
     #      keyed by (oct for run-lasts, sentinel otherwise) carrying the
     #      row INDEX (2 operands — the 8 min columns do NOT ride it),
@@ -975,21 +1056,11 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     so = cols[0]
     sk = jnp.stack(cols[1:])                            # (8, P + n_oct)
     n_res = pool + n_oct
-    k_sh = 1
-    while k_sh < n_res:
-        same = (jnp.concatenate([so[:k_sh], so[:-k_sh]]) == so)[None, :]
-        shifted = jnp.concatenate(
-            [jnp.full((8, k_sh), _KEY_MAX, jnp.uint32), sk[:, :-k_sh]],
-            axis=1)
-        sk = jnp.minimum(sk, jnp.where(same, shifted,
-                                       jnp.uint32(0xFFFFFFFF)))
-        k_sh *= 2
-    run_last = jnp.concatenate([so[1:] != so[:-1], jnp.ones((1,), bool)])
-    skey = jnp.where(run_last, so, n_oct)
+    mins, skey = _segmin_stage(so, sk, n_oct)
     _, win = jax.lax.sort(
         (skey, jnp.arange(n_res, dtype=jnp.int32)), num_keys=1,
         is_stable=False)
-    oct_img = _gather_rows_t(sk.T, win[:n_oct])         # (8, n_oct)
+    oct_img = _gather_rows_t(mins.T, win[:n_oct])       # (8, n_oct)
     # oct rows unpack as (sy, sx) = (sub // 4, sub % 4) pixels
     key_img = (oct_img.reshape(2, 4, octs_h, octs_w)
                .transpose(2, 0, 3, 1)

@@ -52,6 +52,97 @@ def time_rollout(rollout: Callable, state, ts, repeats: int = 3) -> dict:
     }
 
 
+def traced_device_ms(fn: Callable, args: tuple, frames: int = 10,
+                     log_dir: str = "/tmp/gfx_ocean_frame_trace") -> float:
+    """Per-call device time (ms) of ``fn(*args)`` from a profiler trace.
+
+    Sums TPU-process op durations (excluding the enclosing ``jit_``
+    module events, which would double-count their children) over
+    ``frames`` dispatches. Wall timing through a relayed backend carries
+    a per-dispatch RPC tax; the trace is the honest device cost. Returns
+    NaN if the trace holds no TPU events (e.g. CPU backend).
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+    import shutil
+
+    import jax
+
+    shutil.rmtree(log_dir, ignore_errors=True)
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0].ravel()[0:1])  # warm + force
+    with trace(log_dir):
+        for _ in range(frames):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        np.asarray(jax.tree.leaves(out)[0].ravel()[0:1])
+    paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        return float("nan")
+    data = json.load(gzip.open(sorted(paths)[-1]))
+    names = {}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            names[e["pid"]] = e["args"].get("name", "")
+    by_op = collections.Counter()
+    for e in data["traceEvents"]:
+        if (e.get("ph") == "X" and "dur" in e
+                and "TPU" in names.get(e.get("pid"), "")
+                and not e["name"].startswith("jit_")):
+            by_op[e["name"]] += e["dur"]
+    total_us = sum(by_op.values())
+    return float("nan") if total_us == 0 else total_us / 1e3 / frames
+
+
+def frame_bench_main() -> None:
+    """Subprocess entry for the fused-frame benchmark record (bench.py).
+
+    Builds the fused step->render->sRGB pipeline at the reference's
+    1200x700 window (``/root/reference/src/lib.rs:48``), measures the
+    pipelined wall per frame and the trace-derived device time, and
+    prints ONE JSON line. Run in a fresh process so a failure cannot
+    poison the headline benchmark's backend state.
+    """
+    import json as _json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    import gfx_ocean_tpu as ot
+    from gfx_ocean_tpu.render.camera import Camera, perspective
+    from gfx_ocean_tpu.render.raster import make_frame_renderer
+    from gfx_ocean_tpu.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
+    w = int(os.environ.get("GFX_OCEAN_FRAME_W", "1200"))
+    h = int(os.environ.get("GFX_OCEAN_FRAME_H", "700"))
+    state = ot.ocean_state_from_assets()
+    fr = make_frame_renderer(ot.OceanConfig(), width=w, height=h)
+    vp = jnp.asarray((perspective(w / h) @ Camera().view()).astype(np.float32))
+    cp = jnp.asarray(Camera().position.astype(np.float32))
+    args = (state, jnp.float32(11.25), vp, cp)
+    out = fr(*args)
+    np.asarray(out).reshape(-1)[:1]  # warm + force
+    depth = 25
+    t0 = time.perf_counter()
+    for _ in range(depth):
+        out = fr(*args)
+    jax.block_until_ready(out)
+    np.asarray(out).reshape(-1)[:1]
+    wall_ms = (time.perf_counter() - t0) / depth * 1e3
+    dev_ms = traced_device_ms(fr, args, frames=10)
+    print(_json.dumps({
+        "viewport": f"{w}x{h}",
+        "pipelined_wall_ms": round(wall_ms, 1),
+        "device_ms": None if np.isnan(dev_ms) else round(dev_ms, 1),
+    }))
+
+
 class Ema:
     """Title-bar EMA of the reference (``src/lib.rs:146-148``)."""
 

@@ -10,6 +10,7 @@ is the full matrix used to fill the README/BENCH tables:
   4. 3-cascade 3x512^2 with foam (vmap)                    [config 4]
   5. 4096^2 path + one rendered frame along a camera step  [config 5]
   6. fused Pallas kernels (512^2 single-block, 1024^2 blocked)
+  9. 8192^2 grid ceiling (--ceiling only; ~15 min through the tunnel)
 
 Measurement rules (same as bench.py / BASELINE.md): throughput is the
 MEDIAN of repeats over a device-resident scan with a forcing transfer;
@@ -44,6 +45,9 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="shorter rollouts (CI smoke)")
+    parser.add_argument("--ceiling", action="store_true",
+                        help="also measure the 8192^2 grid ceiling (config 9;"
+                             " ~15 min of compile+golden through the tunnel)")
     args = parser.parse_args()
 
     import jax
@@ -307,6 +311,27 @@ def main() -> None:
                        "(multi-chip hardware unavailable), rates not "
                        "comparable to TPU configs")
     configs["7_sharded_rollout"] = sharded
+
+    # config 9 (--ceiling): the 8192^2 grid ceiling of the four-step
+    # Pallas pipeline (the top of the supported range in ops/pallas_step).
+    # Off by default: synthesis + one-step compile + the float64 golden is
+    # ~15 min through the compile tunnel. Measured 2026-08-19 on TPU v5e:
+    # 30.5 steps/s, height rel L-inf 1.09e-5 (docs/BENCH.md). The XLA
+    # einsum four-step fallback is NOT comparable here: its baked DFT
+    # table constants exceed the remote-compile tunnel's request limit
+    # (HTTP 413) at this N, so fft_impl="pallas" is the only path that
+    # deploys at 8192^2 from this host.
+    if args.ceiling:
+        cfg9 = ot.OceanConfig(resolution=8192, domain_size=2000.0,
+                              fft_impl="pallas", matmul_precision="high")
+        st8192 = ocean_state_from_phillips(cfg9, PhillipsConfig())
+        ts9 = jnp.arange(16, dtype=jnp.float32) * dt
+        sps = _throughput(ot.make_rollout(cfg9, keep_fields=False), st8192,
+                          ts9, repeats=2)
+        configs["9_8192_ceiling"] = {
+            "steps_per_sec": round(sps, 1),
+            "rel_linf_vs_golden_height": accuracy(cfg9, st8192, field=1),
+        }
 
     print(json.dumps(report, indent=2))
 

@@ -372,6 +372,67 @@ def _pack_key(z, tri_id, hit, id_bits: int):
     return jnp.where(hit, key, jnp.uint32(0xFFFFFFFF))
 
 
+def _zq_key_rows(id_bits: int) -> int:
+    """Row count of the packed per-slot sort payload (see
+    ``_zq_pack_rows``): 1 id+zq0 row, plus pixels 1..7 at 16-bit fields
+    (4 rows) when the z field fits 16 bits, else at full u32 (7 rows)."""
+    return 5 if 32 - id_bits <= 16 else 8
+
+
+def _zq_pack_rows(key, tri_id_u32, id_bits: int):
+    """Compress one oct slot entry's 8 per-pixel visibility keys into
+    ``_zq_key_rows`` uint32 sort-payload rows.
+
+    All 8 keys of an entry share ONE triangle id (a slot is a (triangle,
+    oct-tile) pair), so carrying 8 full (zq << id_bits | id) words
+    through the visibility sort moves 7 redundant ids — and sort cost
+    grows ~32% per extra operand column (tools/prof_octsort.py). Row 0
+    keeps pixel 0's full key layout (zq0 << id_bits | id); pixels 1..7
+    store only their quantized-z field, two per u32 when it fits 16
+    bits. A miss (or sentinel) pixel's z field is all-ones — legitimate
+    zq is integer-clamped to 2^z_bits - 2 (``_pack_key``), so the mark
+    is unambiguous and ``_zq_unpack_keys`` reconstructs every key
+    BIT-exactly. Traced both inside the slot kernel (Mosaic) and in
+    tests (plain XLA).
+    """
+    z_bits = 32 - id_bits
+    zqp = key >> id_bits                    # (8, bl); miss -> all-ones field
+    rows = [(zqp[0:1] << id_bits) | tri_id_u32]
+    if z_bits <= 16:
+        for k in range(1, 8, 2):
+            hi = zqp[k + 1:k + 2] if k + 1 < 8 else jnp.zeros_like(zqp[0:1])
+            rows.append(zqp[k:k + 1] | (hi << 16))
+    else:
+        rows += [zqp[k:k + 1] for k in range(1, 8)]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _zq_unpack_keys(cols, id_bits: int):
+    """Bit-exact inverse of ``_zq_pack_rows``: (nk, n) packed rows ->
+    (8, n) full uint32 visibility keys (all-ones z field -> KEY_MAX).
+    Traced inside the segmented-min kernel (Mosaic) and in tests."""
+    z_bits = 32 - id_bits
+    zmax = jnp.uint32((1 << z_bits) - 1)
+    c0 = cols[0:1]
+    tri = c0 & jnp.uint32((1 << id_bits) - 1)
+    # Every extracted field is masked with zmax: a no-op for packed
+    # values (zq' <= zmax by construction) that maps the resolve's
+    # ALL-ONES sentinel rows — whose 16/32-bit fields exceed zmax when
+    # z_bits < the field width — onto the same miss mark.
+    zq = [c0 >> id_bits]
+    if z_bits <= 16:
+        for r in range(1, 5):
+            c = cols[r:r + 1]
+            zq.append(c & zmax)
+            zq.append((c >> 16) & zmax)
+        zq = zq[:8]
+    else:
+        zq += [cols[r:r + 1] & zmax for r in range(1, 8)]
+    zq = jnp.concatenate(zq, axis=0)
+    return jnp.where(zq == zmax, jnp.uint32(0xFFFFFFFF),
+                     (zq << id_bits) | tri)
+
+
 def _giant_pass(clip, tris_all, score, key_img, width: int,
                 height: int, giants: int, id_bits: int,
                 y_origin=0, full_height: int | None = None):
@@ -698,7 +759,14 @@ def _slot_kernel(cov_ref, crow_ref, key_ref, oct_ref, *,
     z = (lam0 * f[9] + lam1 * f[10] + lam2 * f[11]
          ) / jnp.where(lam_w == 0, 1.0, lam_w)
     hit = hit & (z > -1.0) & (z < 1.0)
-    key_ref[:, :] = _pack_key(z, tri_id, hit, id_bits)
+    key = _pack_key(z, tri_id, hit, id_bits)            # (8, bl) u32
+    # Emit the PACKED payload rows (see _zq_pack_rows): fewer rows out of
+    # this kernel, fewer operand columns through the visibility sort,
+    # fewer rows into the segmented-min kernel — all three scale with
+    # the pool. Padded/invalid slots have hit == False everywhere, so
+    # every z field is all-ones and unpack yields KEY_MAX regardless of
+    # the (zeroed) id.
+    key_ref[:, :] = _zq_pack_rows(key, tri_id.astype(jnp.uint32), id_bits)
     oct_ref[0:1, :] = jnp.where(valid, oy * octs_w + ox, spill_oct)
 
 
@@ -708,14 +776,15 @@ def _slot_stage(crow, total_covered, pool: int, width: int,
     """Run ``_slot_kernel`` over the packed slot table (15 f32 edge rows
     bitcast to u32, then 4 int rows). Pads the slot axis up to a block
     multiple (padded slots sit past ``total_covered`` and emit inert
-    (KEY_MAX x8, spill) entries) and returns
-    ``(keys (8, pool) u32, oct (pool,) i32)``.
+    (all-ones, spill) entries) and returns
+    ``(packed key rows (_zq_key_rows, pool) u32, oct (pool,) i32)``.
 
     The kernel takes the packed table as ONE u32 input (full-height
     blocks — Mosaic requires the second-minor block dim to divide 8 or
     equal the array dim) and bitcasts the 15 edge rows back to f32
     in-register, so no row slicing or copying happens outside."""
     bl = 8192
+    nk = _zq_key_rows(id_bits)
     p_pad = -(-pool // bl) * bl
     if p_pad != pool:
         crow = jnp.pad(crow, ((0, 0), (0, p_pad - pool)))
@@ -728,14 +797,14 @@ def _slot_stage(crow, total_covered, pool: int, width: int,
     keys, octs = pl.pallas_call(
         kern,
         grid=(p_pad // bl,),
-        out_shape=(jax.ShapeDtypeStruct((8, p_pad), jnp.uint32),
+        out_shape=(jax.ShapeDtypeStruct((nk, p_pad), jnp.uint32),
                    jax.ShapeDtypeStruct((1, p_pad), jnp.int32)),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((19, bl), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((8, bl), lambda i: (0, i),
+        out_specs=(pl.BlockSpec((nk, bl), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, bl), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
@@ -745,20 +814,24 @@ def _slot_stage(crow, total_covered, pool: int, width: int,
 
 
 def _segmin_kernel(so_ref, sn_ref, sk_ref, skey_ref, min_ref, co_ref, cm_ref,
-                   *, bl: int, n_oct: int):
+                   *, bl: int, n_oct: int, id_bits: int):
     """Segmented component-wise min over oct runs, one HBM pass.
 
     Inputs are the oct-sorted resolve arrays: ``so`` (run ids,
     ascending), ``sn`` (so shifted left by one — the next element's id,
-    so run-LAST detection needs no cross-block peek), and the 8 key
-    columns SIGN-FLIPPED into int32 (Mosaic has no unsigned min; XOR of
-    the sign bit makes i32 order == u32 order). The TPU grid runs
-    blocks SEQUENTIALLY, so scratch carries the open run's id and its
-    running component mins across block boundaries — the in-block
-    prefix-min is a log-shift over (8, bl) in VMEM (sorted ids make the
-    same-run test a single lag compare). Outputs: per-element prefix
-    mins (run min lands on the run-last row) and the compaction sort
-    key (oct id at run-lasts, the ``n_oct`` sentinel elsewhere)."""
+    so run-LAST detection needs no cross-block peek), and the PACKED
+    key rows (``_zq_pack_rows``) straight off the sort. The kernel
+    reconstructs the 8 full uint32 keys in VMEM (where the unpack is a
+    handful of register-width shifts, vs 3 extra u32 columns of HBM +
+    sort traffic outside) and SIGN-FLIPS them into int32 (Mosaic has no
+    unsigned min; XOR of the sign bit makes i32 order == u32 order).
+    The TPU grid runs blocks SEQUENTIALLY, so scratch carries the open
+    run's id and its running component mins across block boundaries —
+    the in-block prefix-min is a log-shift over (8, bl) in VMEM (sorted
+    ids make the same-run test a single lag compare). Outputs:
+    per-element prefix mins (run min lands on the run-last row) and the
+    compaction sort key (oct id at run-lasts, the ``n_oct`` sentinel
+    elsewhere)."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -767,7 +840,9 @@ def _segmin_kernel(so_ref, sn_ref, sk_ref, skey_ref, min_ref, co_ref, cm_ref,
         cm_ref[:, :] = jnp.full((8, 128), 0x7FFFFFFF, jnp.int32)
 
     so = so_ref[0:1, :]
-    m = sk_ref[:, :]
+    keys = _zq_unpack_keys(sk_ref[:, :], id_bits)   # (8, bl) u32
+    m = (jax.lax.bitcast_convert_type(keys, jnp.int32)
+         ^ jnp.int32(-0x80000000))
     k = 1
     while k < bl:
         same = jnp.concatenate(
@@ -784,20 +859,22 @@ def _segmin_kernel(so_ref, sn_ref, sk_ref, skey_ref, min_ref, co_ref, cm_ref,
     cm_ref[:, :] = jnp.broadcast_to(m[:, bl - 1:bl], (8, 128))
 
 
-def _segmin_stage(so, sk, n_oct: int, bl: int = 8192):
-    """Run ``_segmin_kernel`` over the sorted resolve arrays; returns
-    (mins (8, n) uint32, skey (n,) int32). Padding rides the spill run
-    (id ``n_oct``) so it can never merge with, or split, a real oct
-    run."""
+def _segmin_stage(so, sk, n_oct: int, id_bits: int, bl: int = 8192):
+    """Run ``_segmin_kernel`` over the sorted resolve arrays (``sk`` is
+    the PACKED ``_zq_key_rows(id_bits)``-row payload); returns
+    (mins (8, n) uint32 full keys, skey (n,) int32). Padding rides the
+    spill run (id ``n_oct``) so it can never merge with, or split, a
+    real oct run; all-ones padding rows unpack to KEY_MAX."""
     n = so.shape[0]
+    nk = sk.shape[0]
     n_pad = -(-n // bl) * bl
     so_p = jnp.concatenate([so, jnp.full((n_pad - n,), n_oct, jnp.int32)])
     sn_p = jnp.concatenate([so_p[1:], jnp.full((1,), -2, jnp.int32)])
     flip = jnp.int32(-0x80000000)
     sk_p = jnp.concatenate(
-        [sk, jnp.full((8, n_pad - n), _KEY_MAX, jnp.uint32)], axis=1)
-    sk_f = jax.lax.bitcast_convert_type(sk_p, jnp.int32) ^ flip
-    kern = functools.partial(_segmin_kernel, bl=bl, n_oct=n_oct)
+        [sk, jnp.full((nk, n_pad - n), _KEY_MAX, jnp.uint32)], axis=1)
+    kern = functools.partial(_segmin_kernel, bl=bl, n_oct=n_oct,
+                             id_bits=id_bits)
     interpret = jax.default_backend() == "cpu"
     skey, mins = pl.pallas_call(
         kern,
@@ -808,7 +885,7 @@ def _segmin_stage(so, sk, n_oct: int, bl: int = 8192):
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, bl), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, bl), lambda i: (0, i),
+                  pl.BlockSpec((nk, bl), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((1, bl), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
@@ -817,7 +894,7 @@ def _segmin_stage(so, sk, n_oct: int, bl: int = 8192):
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32),
                         pltpu.VMEM((8, 128), jnp.int32)],
         interpret=interpret,
-    )(so_p.reshape(1, n_pad), sn_p.reshape(1, n_pad), sk_f)
+    )(so_p.reshape(1, n_pad), sn_p.reshape(1, n_pad), sk_p)
     mins_u = jax.lax.bitcast_convert_type(mins ^ flip, jnp.uint32)
     return mins_u[:, :n], skey[0, :n]
 
@@ -1018,7 +1095,7 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     octs_w = (width + 3) // 4
     octs_h = (height + 1) // 2
     n_oct = octs_w * octs_h
-    keys8, octid = _slot_stage(crow, total_covered, pool, width,
+    keysp, octid = _slot_stage(crow, total_covered, pool, width,
                                full_height, octs_w, n_oct, bw_bits,
                                id_bits, y_origin)
     # SORT-BASED VISIBILITY RESOLVE, oct-packed (round 4). The z-buffer
@@ -1031,32 +1108,37 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
     # (round 3 sorted per-PIXEL entries: 2.7x the elements, measured
     # 9.3 ms of sorts at 1200x700 vs ~4.5 for this pipeline):
     #   1. sort slots + one background sentinel per oct (so every oct
-    #      owns a run) by oct id; the 8 key columns ride as payload
-    #      (component-wise mins are order-invariant, so is_stable=False
-    #      is deterministic),
+    #      owns a run) by oct id; the key payload rides PACKED
+    #      (``_zq_pack_rows``: one id + 16-bit z fields, 5 operand
+    #      columns instead of 8 at the production mesh — the entry's 8
+    #      keys share one triangle id, and sort cost is ~32% per extra
+    #      column). Component-wise mins are order-invariant, so
+    #      is_stable=False is deterministic,
     #   2. segmented component-wise min over each oct run — the run
     #      minimum lands on the run's LAST entry; identical winner per
     #      pixel to a scatter-min by associativity of min. ONE Pallas
-    #      pass (``_segmin_stage``) carrying run state across blocks in
+    #      pass (``_segmin_stage``, which unpacks the payload back to
+    #      full keys in VMEM) carrying run state across blocks in
     #      scratch: the XLA log-shift form was ~107 dispatched ops /
     #      0.76 ms device per frame, the kernel is 16 ops / 0.31 ms
     #      (measured, tools/prof_segmin.py),
     #   3. compact the run-last rows into oct order with a second sort
     #      keyed by (oct for run-lasts, sentinel otherwise) carrying the
-    #      row INDEX (2 operands — the 8 min columns do NOT ride it),
+    #      row INDEX (2 operands — the min columns do NOT ride it),
     #      then one (n_oct)-row gather of the min table places the
     #      winners. The first n_oct entries are exactly one run-last per
     #      oct because the sentinels guarantee every oct one run.
+    nk = keysp.shape[0]
     bg_oct = jnp.arange(n_oct, dtype=jnp.int32)
-    kmax = jnp.full((n_oct,), _KEY_MAX, jnp.uint32)
+    kmax = jnp.full((n_oct,), _KEY_MAX, jnp.uint32)     # all-ones rows
     cols = jax.lax.sort(
         (jnp.concatenate([octid, bg_oct]),
-         *[jnp.concatenate([keys8[i], kmax]) for i in range(8)]),
+         *[jnp.concatenate([keysp[i], kmax]) for i in range(nk)]),
         num_keys=1, is_stable=False)
     so = cols[0]
-    sk = jnp.stack(cols[1:])                            # (8, P + n_oct)
+    sk = jnp.stack(cols[1:])                            # (nk, P + n_oct)
     n_res = pool + n_oct
-    mins, skey = _segmin_stage(so, sk, n_oct)
+    mins, skey = _segmin_stage(so, sk, n_oct, id_bits)
     _, win = jax.lax.sort(
         (skey, jnp.arange(n_res, dtype=jnp.int32)), num_keys=1,
         is_stable=False)

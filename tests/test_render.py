@@ -940,3 +940,36 @@ def test_pool_window_near_tie_bound(disp64):
             assert abs(za[y, x] - zb[y, x]) <= 2 * quantum, (
                 (y, x), za[y, x], zb[y, x])
     assert one_sided <= 8, f"{one_sided} one-sided coverage flips"
+
+
+@pytest.mark.parametrize("id_bits", [17, 10])
+def test_zq_pack_roundtrip_bit_exact(id_bits):
+    """The packed resolve payload (_zq_pack_rows) must reconstruct every
+    per-pixel visibility key BIT-exactly (_zq_unpack_keys) — the packed
+    sort carries it instead of 8 full key columns, and the band/full
+    bit-equality contract rides on the reconstruction. Covers both field
+    widths (id_bits=17 -> 16-bit z fields, the production mesh; 10 ->
+    full-u32 fields) plus the all-ones sentinel/padding rows."""
+    from gfx_ocean_tpu.render import raster as rr
+
+    z_bits = 32 - id_bits
+    rng = np.random.default_rng(3)
+    n = 4096
+    # Legit keys: one shared triangle id per entry, zq <= 2^z_bits - 2
+    # (the _pack_key integer clamp), random misses -> KEY_MAX columns.
+    tri = rng.integers(0, 1 << id_bits, (1, n), dtype=np.uint32)
+    zq = rng.integers(0, (1 << z_bits) - 1, (8, n), dtype=np.uint32)
+    keys = ((zq << id_bits) | tri).astype(np.uint32)
+    miss = rng.random((8, n)) < 0.3
+    keys = np.where(miss, np.uint32(0xFFFFFFFF), keys)
+
+    packed = rr._zq_pack_rows(jnp.asarray(keys), jnp.asarray(tri), id_bits)
+    assert packed.shape == (rr._zq_key_rows(id_bits), n)
+    back = np.asarray(rr._zq_unpack_keys(packed, id_bits))
+    np.testing.assert_array_equal(back, keys)
+
+    # All-ones rows (the resolve's background sentinels and the segmin
+    # stage's block padding) must unpack to KEY_MAX in every column.
+    ones = jnp.full((rr._zq_key_rows(id_bits), 8), 0xFFFFFFFF, jnp.uint32)
+    assert (np.asarray(rr._zq_unpack_keys(ones, id_bits))
+            == np.uint32(0xFFFFFFFF)).all()

@@ -153,11 +153,16 @@ class OceanConfig:
         if self.fft_impl not in ("matmul", "xla", "pallas"):
             raise ValueError(f"unknown fft_impl {self.fft_impl!r}")
         if self.hermitian_pack is None:
+            # matmul/xla: auto-on at N >= 1024 (the packed propagate's extra
+            # cos/sin plane pair dominates below — measured, see field doc).
+            # pallas: the N >= 1024 four-step kernels pack inherently; at
+            # N <= 512 the flag selects the packed single-kernel
+            # (ops/pallas_step._packed_grid_kernel), where the extra
+            # transcendentals run on the VPU under the MXU dots — on by
+            # default (measured faster on v5e, docs/BENCH.md config 0).
             object.__setattr__(
                 self, "hermitian_pack",
-                self.resolution >= 1024 and self.fft_impl != "pallas")
-        if self.hermitian_pack and self.fft_impl == "pallas":
-            raise ValueError("hermitian_pack applies to the matmul/xla paths")
+                self.resolution >= 1024 or self.fft_impl == "pallas")
         if self.cascade_domains is not None and len(self.cascade_domains) != self.num_cascades:
             raise ValueError("cascade_domains length must equal num_cascades")
 

@@ -328,6 +328,143 @@ def _blocked_fields(h0_pair, omega, t_arr, h0n, awr, awi, config: OceanConfig,
     return planes
 
 
+def _packed_grid_kernel(
+    t_ref,        # SMEM (1, 1) f32 — absolute time
+    pre_ref,      # VMEM (4, B, N) f32 — P1..P4 row band
+    preq_ref,     # VMEM (4, B, N) f32 — rho-gathered P1..P4 row band
+    om_ref,       # VMEM (B, N) f32
+    omq_ref,      # VMEM (B, N) f32 — rho-gathered omega
+    ar_ref,       # VMEM (N, N) f32 — Re(D_alt @ W), shared by both passes
+    ai_ref,       # VMEM (N, N) f32
+    out_ref,      # VMEM (3, N, N) f32 — (disp_x, height, disp_z), centered
+    y_ref,        # VMEM scratch (2, 2, N, N) f32 — row-pass planes
+    *,
+    n: int,
+    block: int,
+    col_chunk: int,
+    domain_size: float,
+    wrap_k: bool,
+    ref_sign: bool,
+    precision: str,
+):
+    """Hermitian-packed fused step: 14 MXU dot-stages instead of 18.
+
+    One sequential-grid kernel over row bands. Each step fuses the packed
+    propagate (``ops/propagate.propagate_packed_planes`` algebra — the
+    symmetrized height spectrum H plus Z = H_dx + i*H_dz) with the complex
+    row pass for its band (2 spectra x 4 dots), accumulating the row-pass
+    planes in a VMEM scratch; the LAST step runs the column pass off the
+    scratch (height real-out 2 dots + Z complex-out 4 dots, chunked over
+    column bands to bound transient VMEM). Versus the unpacked single-block
+    kernel this trades 3 transforms (18 dots) for 2 (14 dots) — the packing
+    the Re-only output of ``shader/correction.comp:31`` licenses — while the
+    grid streaming makes the 10 propagate input planes fit where a no-grid
+    kernel would not (only one band is resident at a time).
+
+    The rho-gathered inputs are required because the reference's sigma
+    pairing (``index_neg``, shader/propagate.comp:48) is NOT the DFT
+    negation: the evolved spectrum is not Hermitian, so symmetrization
+    cannot be skipped. Q2's global flip (ref_sign) folds into the 1/2 of
+    the symmetrization — free.
+    """
+    dot = _make_dot(precision)
+    i = pl.program_id(0)
+    t = t_ref[0, 0]
+    ph = _phase_mod_2pi(om_ref[:, :], t)
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    phq = _phase_mod_2pi(omq_ref[:, :], t)
+    cq, sq = jnp.cos(phq), jnp.sin(phq)
+    sr = c * pre_ref[0] + s * pre_ref[1]       # S = evolved height spectrum
+    si = s * pre_ref[2] + c * pre_ref[3]
+    tr = cq * preq_ref[0] + sq * preq_ref[1]   # S o rho
+    ti = sq * preq_ref[2] + cq * preq_ref[3]
+    half = jnp.float32(-0.5 if ref_sign else 0.5)
+    h_r = half * (sr + tr)
+    h_i = half * (si - ti)
+    row_off = (i * block).astype(jnp.float32)
+    khx, khy, khxq, khyq = _khat_pair_in_kernel(
+        n, domain_size, wrap_k, block, row_off)
+    dx_r = half * (khx * si + khxq * ti)
+    dx_i = half * (khxq * tr - khx * sr)
+    dz_r = half * (khy * si + khyq * ti)
+    dz_i = half * (khyq * tr - khy * sr)
+    z_r = dx_r - dz_i                          # Z = H_dx + i * H_dz
+    z_i = dx_i + dz_r
+
+    awr = ar_ref[:, :]
+    awi = ai_ref[:, :]
+    band = pl.ds(i * block, block)
+    # row pass: Y = X @ (W D_alt) = X @ A^T (x-half centering fold rides
+    # the NT output index; MXU transposes operands for free)
+    y_ref[0, 0, band, :] = dot(h_r, awr, _DIMS_NT) - dot(h_i, awi, _DIMS_NT)
+    y_ref[0, 1, band, :] = dot(h_r, awi, _DIMS_NT) + dot(h_i, awr, _DIMS_NT)
+    y_ref[1, 0, band, :] = dot(z_r, awr, _DIMS_NT) - dot(z_i, awi, _DIMS_NT)
+    y_ref[1, 1, band, :] = dot(z_r, awi, _DIMS_NT) + dot(z_i, awr, _DIMS_NT)
+
+    @pl.when(i == n // block - 1)
+    def _col_pass():
+        for k in range(n // col_chunk):
+            sl = slice(k * col_chunk, (k + 1) * col_chunk)
+            yhr = y_ref[0, 0, :, sl]
+            yhi = y_ref[0, 1, :, sl]
+            # height: F(H) is exactly real -> 2 dots
+            out_ref[1, :, sl] = (dot(awr, yhr, _DIMS_NN)
+                                 - dot(awi, yhi, _DIMS_NN))
+            yzr = y_ref[1, 0, :, sl]
+            yzi = y_ref[1, 1, :, sl]
+            # Z: Re -> disp_x, Im -> disp_z
+            out_ref[0, :, sl] = (dot(awr, yzr, _DIMS_NN)
+                                 - dot(awi, yzi, _DIMS_NN))
+            out_ref[2, :, sl] = (dot(awr, yzi, _DIMS_NN)
+                                 + dot(awi, yzr, _DIMS_NN))
+
+
+def _packed_single_fields(h0_pair, omega, t_arr, config: OceanConfig,
+                          n: int, interpret: bool) -> jnp.ndarray:
+    """Packed-transform fused step for N <= 512 (see _packed_grid_kernel)."""
+    from gfx_ocean_tpu.ops.propagate import precompute_propagate_packed  # noqa: PLC0415
+
+    pre, pre_rho, omega_rho = precompute_propagate_packed(
+        h0_pair, omega, config.compat)
+    awr, awi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(n, 1, 0, False))
+    block = min(n, 64)
+    col_chunk = min(n, 256)
+    vmem = pltpu.VMEM
+    kernel = functools.partial(
+        _packed_grid_kernel,
+        n=n, block=block, col_chunk=col_chunk,
+        domain_size=float(config.domain_size),
+        wrap_k=config.compat.wrap_k,
+        ref_sign=config.compat.ref_sign,
+        precision=config.matmul_precision,
+    )
+    planes = pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        out_shape=jax.ShapeDtypeStruct((3, n, n), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, block, n), lambda i: (0, i, 0), memory_space=vmem),
+            pl.BlockSpec((4, block, n), lambda i: (0, i, 0), memory_space=vmem),
+            pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=vmem),
+            pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=vmem),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=vmem),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((3, n, n), lambda i: (0, 0, 0),
+                               memory_space=vmem),
+        scratch_shapes=[pltpu.VMEM((2, 2, n, n), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_VMEM_HINT,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 14 * n * n * n,
+            bytes_accessed=(10 + 2 + 3) * n * n * 4,
+            transcendentals=4 * n * n,
+        ),
+    )(t_arr, pre, pre_rho, omega, omega_rho, awr, awi)
+    return planes
+
+
 # ---------------------------------------------------------------------------
 # Four-step pipeline for N >= 1024 (the reference's scaling frontier).
 #
@@ -714,6 +851,11 @@ def pallas_fields(
     if n > 512:
         planes = _fourstep_fields(h0_pair, omega, t_arr, config, n,
                                   interpret)
+        return jnp.moveaxis(planes, 0, -1)
+
+    if config.hermitian_pack:
+        planes = _packed_single_fields(h0_pair, omega, t_arr, config, n,
+                                       interpret)
         return jnp.moveaxis(planes, 0, -1)
 
     # A = D_alt @ W: the y-half of the centering sign folded into rows.

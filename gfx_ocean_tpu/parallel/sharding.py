@@ -118,6 +118,11 @@ def _make_pallas_disp(config: OceanConfig, mesh: Mesh, batched: bool):
             "use a mesh with batch=1 (cascades are replicated)")
 
     def disp(state, t):
+        want = 4 if batched else 3
+        if state.h0.ndim != want:
+            raise ValueError(
+                f"sharded pallas step built with batched={batched} expects "
+                f"h0 rank {want}, got rank {state.h0.ndim}")
         if state.h0.ndim == 3:
             return pallas_fourstep_fields_sharded(
                 state.h0, state.omega, t, config, mesh, axis_name="row")

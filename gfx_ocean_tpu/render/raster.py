@@ -1020,9 +1020,9 @@ def _rasterize_pool(displacement, positions, uvs, tris, view_proj, camera_pos,
             and height < (1 << 15)):
         raise ValueError(
             f"viewport {width}x{height} too wide for the packed slot "
-            f"table at this mesh size (limits: width < "
-            f"{1 << min(16, 2 + bw_bits)} at {id_bits} id bits, height < "
-            f"{1 << 15})")
+            f"table at this mesh size (enforced: width < {1 << 16}, "
+            f"ceil(width/4) < {1 << bw_bits} at {id_bits} id bits, "
+            f"height < {1 << 15})")
     crossing_visible = crossing & ~outside
     # Clamp the packed coords into the viewport: x0/y0 are only clamped
     # BELOW above, and a fully-front triangle with tiny w (just in front

@@ -29,7 +29,11 @@ stateless engine; the browser is the window and only forwards raw events:
                               -> reference key/touch semantics (camera.py)
     GET /session/frame.png    -> advance camera+clock by dt (wall-clock, or
                               &dt= for determinism), render current pose
-    GET /session/frame.jpg    -> same, JPEG (the viewer's format)
+    GET /session/frame.jpg    -> same, JPEG
+    GET /session/strip.jpg?n= -> advance n sub-frames and render them in ONE
+                              batched dispatch, returned as one vertically
+                              stacked JPEG (the viewer's format: amortizes
+                              the tunnel's per-request tax across n frames)
     GET /session/state        -> pose, sim time, frame-time EMA (title bar)
 """
 
@@ -156,8 +160,26 @@ class FrameService:
                 with build:              # wait for the builder, then re-check
                     continue
             try:
-                width, height, giants = key
-                if self.mesh is not None:
+                width, height, giants = key[:3]
+                batch = key[3] if len(key) == 4 else None
+                if batch is not None:
+                    # n-frame strip renderer: ONE dispatch + ONE transfer
+                    # for n frames — amortizes the tunneled per-dispatch
+                    # RPC tax (~6 ms/frame at depth 1) across the strip.
+                    if self.mesh is not None:
+                        from gfx_ocean_tpu.parallel.render import (  # noqa: PLC0415
+                            make_sharded_batch_renderer)
+
+                        fn = make_sharded_batch_renderer(
+                            self.config, self.mesh, width=width,
+                            height=height, giants=giants)
+                    else:
+                        from gfx_ocean_tpu.render.raster import (  # noqa: PLC0415
+                            make_batch_renderer)
+
+                        fn = make_batch_renderer(self.config, width=width,
+                                                 height=height, giants=giants)
+                elif self.mesh is not None:
                     # Band-parallel: each device rasterizes a horizontal
                     # band of the viewport (bit-equal to single-chip —
                     # parallel/render.py).
@@ -174,8 +196,15 @@ class FrameService:
                 cam = Camera()
                 vp = (perspective(width / height) @ cam.view()).astype(
                     np.float32)
-                fn(self._render_state, jnp.float32(0.0), jnp.asarray(vp),
-                   jnp.asarray(cam.position.astype(np.float32)))  # compile
+                if batch is not None:
+                    fn(self._render_state,
+                       jnp.zeros((batch,), jnp.float32),
+                       jnp.asarray(np.stack([vp] * batch)),
+                       jnp.asarray(np.stack(
+                           [cam.position.astype(np.float32)] * batch)))
+                else:
+                    fn(self._render_state, jnp.float32(0.0), jnp.asarray(vp),
+                       jnp.asarray(cam.position.astype(np.float32)))  # compile
                 with self._cache_lock:
                     while len(self._renderers) >= self._renderers_max:
                         self._renderers.popitem(last=False)
@@ -216,6 +245,7 @@ class FrameService:
             # Fast path: ONE fused dispatch (step -> rasterize -> sRGB on
             # device) — the analog of the reference's single per-frame
             # command-buffer submission (src/render.rs:1122-1372).
+            import jax  # noqa: PLC0415
             import jax.numpy as jnp  # noqa: PLC0415
 
             key = (width, height, giants)
@@ -231,9 +261,11 @@ class FrameService:
             # Transfer OUTSIDE the lock: jax dispatch is async and the
             # device queue is in-order, so the next request's compute
             # overlaps this frame's download (the viewer keeps two frames
-            # in flight to exploit this).
-            srgb = np.asarray(srgb_dev)
-            dropped = int(np.max(np.asarray(dropped_dev)))
+            # in flight to exploit this). One device_get for frame AND
+            # tripwire counter — a separate np.asarray(dropped_dev) would
+            # pay a second tunnel RPC per served frame.
+            srgb, dropped_arr = jax.device_get((srgb_dev, dropped_dev))
+            dropped = int(np.max(dropped_arr))
             with self._meter_lock:
                 self.latency_ema.update(time.perf_counter() - t0)
                 self.frames_served += 1
@@ -261,6 +293,46 @@ class FrameService:
             Image.fromarray(srgb).save(buf, format="JPEG", quality=88)
         else:
             Image.fromarray(srgb).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def strip_jpg(self, times, cameras, width: int, height: int,
+                  giants: int = 512) -> bytes:
+        """n session frames in ONE dispatch + ONE transfer, stacked
+        vertically into a single JPEG (the viewer slices it back apart).
+
+        The interactive answer to the tunnel's per-request tax: the
+        single-frame session loop pays an HTTP round trip + a dispatch
+        RPC per frame (docs/BENCH.md "tunnel tax", ~26-42 ms/dispatch);
+        a strip amortizes both across n frames while the server-side
+        camera integrates held keys over n sub-frame ticks — same
+        trajectory as n single frames (src/lib.rs:139-148 semantics).
+        The strip renderer has no coverage tripwire (diag rides the
+        single-frame path only).
+        """
+        import jax  # noqa: PLC0415
+        import jax.numpy as jnp  # noqa: PLC0415
+        from PIL import Image  # noqa: PLC0415
+
+        from gfx_ocean_tpu.render.camera import perspective  # noqa: PLC0415
+
+        n = len(times)
+        t0 = time.perf_counter()
+        fn = self._renderer((width, height, giants, n))
+        proj = perspective(width / height)
+        vps = np.stack([(proj @ c.view()).astype(np.float32)
+                        for c in cameras])
+        cps = np.stack([c.position.astype(np.float32) for c in cameras])
+        with self._lock:
+            frames_dev = fn(self._render_state,
+                            jnp.asarray(np.asarray(times, np.float32)),
+                            jnp.asarray(vps), jnp.asarray(cps))
+        frames = jax.device_get(frames_dev)   # (n, H, W, 3) uint8
+        with self._meter_lock:
+            self.latency_ema.update((time.perf_counter() - t0) / n)
+            self.frames_served += n
+        buf = io.BytesIO()
+        Image.fromarray(np.concatenate(list(frames), axis=0)).save(
+            buf, format="JPEG", quality=88)
         return buf.getvalue()
 
     def metrics(self) -> dict:
@@ -330,6 +402,30 @@ class CameraSession:
                                        rotation=self.camera.rotation.copy())
             return self.sim_time, snap
 
+    def advance_batch(self, n: int, dt: Optional[float] = None):
+        """Tick the loop n sub-frames for a strip render: the wall-clock
+        (or explicit) dt is split evenly and the camera integrates held
+        keys across the sub-ticks exactly as n single ``advance`` calls
+        with dt/n would. Returns [(sim time, camera snapshot), ...]."""
+        import dataclasses  # noqa: PLC0415
+
+        with self._lock:
+            now = time.perf_counter()
+            if dt is None:
+                dt = 0.0 if self._last is None else min(now - self._last, 0.25)
+            self._last = now
+            sub = dt / n
+            out = []
+            for _ in range(n):
+                self.camera.update(sub)
+                self.sim_time += sub
+                self.frame_ema.update(sub)
+                out.append((self.sim_time, dataclasses.replace(
+                    self.camera,
+                    position=self.camera.position.copy(),
+                    rotation=self.camera.rotation.copy())))
+            return out
+
     def state(self) -> dict:
         with self._lock:
             return {
@@ -354,13 +450,14 @@ _VIEWER_HTML = """<!doctype html>
 <style>
  body { margin:0; background:#111; color:#ccc; font:13px monospace;
         display:flex; flex-direction:column; align-items:center }
- img { width:100%; max-width:960px; image-rendering:auto; margin-top:8px }
+ canvas { width:100%; max-width:960px; image-rendering:auto; margin-top:8px }
  #hud { padding:6px }
 </style></head><body>
-<img id="v" alt="ocean">
+<canvas id="v" width="960" height="540"></canvas>
 <div id="hud">connecting…</div>
 <script>
 const v = document.getElementById('v'), hud = document.getElementById('hud');
+const ctx = v.getContext('2d');
 const KEYS = {KeyW:'w', KeyS:'s', ArrowLeft:'left', ArrowRight:'right',
               ArrowUp:'up', ArrowDown:'down'};
 const held = new Set();
@@ -379,29 +476,40 @@ v.addEventListener('touchstart', e => {
 }, {passive: true});
 addEventListener('touchend', () => send('touch=ended'), {passive: true});
 let ema = null;
-// 960x540 since round 3: the fused frame is ~23 ms on-device; the
-// two-frames-in-flight loop keeps the tunnel transfer off the critical
-// path. Drop to ?w=480&h=280 on a slow link.
-const grab = () => fetch('/session/frame.jpg?w=960&h=540')
+// Strip mode (round 5): each request renders STRIP frames in ONE TPU
+// dispatch + ONE transfer (a vertically stacked JPEG the canvas slices),
+// amortizing the tunnel's per-request tax across the strip; two strips
+// stay in flight so the next strip renders while this one presents.
+// Drop to ?w=480&h=280 on a slow link.
+const STRIP = 4, W = 960, H = 540;
+const sleep = ms => new Promise(r => setTimeout(r, ms));
+const grab = () => fetch('/session/strip.jpg?w=' + W + '&h=' + H +
+                         '&n=' + STRIP)
   .then(r => r.blob());
-// Two frames in flight, displayed in order: the server dispatches frame
-// n+1 to the TPU while frame n's pixels are still downloading.
+// Two strips in flight, sub-frames presented in order and paced over the
+// measured strip interval: the server renders strip n+1 while strip n's
+// pixels download and present.
 async function loop() {
   let next = grab();
+  let last = performance.now();
   for (;;) {
-    const t0 = performance.now();
     const cur = next;
     next = grab();
     try {
-      const blob = await cur;
-      const old = v.src;
-      v.src = URL.createObjectURL(blob);
-      if (old.startsWith('blob:')) URL.revokeObjectURL(old);
-      const ms = performance.now() - t0;
+      const bmp = await createImageBitmap(await cur);
+      const now = performance.now();
+      const ms = now - last;
+      last = now;
       ema = ema === null ? ms : ema * 0.9 + ms * 0.1;   // src/lib.rs:146-148
-      hud.textContent = 'Ocean: ' + ema.toFixed(2) + 'ms (' +
-        (1000 / ema).toFixed(1) + ' fps)  (W/S move, arrows look, touch to yaw)';
-    } catch (e) { hud.textContent = 'error: ' + e; }
+      const per = ema / STRIP;
+      hud.textContent = 'Ocean: ' + per.toFixed(2) + 'ms (' +
+        (1000 / per).toFixed(1) + ' fps)  (W/S move, arrows look, touch to yaw)';
+      for (let i = 0; i < STRIP; i++) {
+        ctx.drawImage(bmp, 0, i * H, W, H, 0, 0, W, H);
+        if (i < STRIP - 1) await sleep(per);
+      }
+      bmp.close();
+    } catch (e) { hud.textContent = 'error: ' + e; await sleep(250); }
     await new Promise(requestAnimationFrame);
   }
 }
@@ -493,6 +601,27 @@ def _make_handler(service: FrameService):
                     self._send(200, service.frame_png(t, w, h, s, cam,
                                                       giants=g, fmt=fmt),
                                f"image/{fmt.lower()}")
+                elif url.path == "/session/strip.jpg":
+                    w, h, _, g = _viewport(q)
+                    n = int(q.get("n", ["4"])[0])
+                    if not 2 <= n <= 16:
+                        raise ValueError("strip n out of range [2, 16]")
+                    if w * h > _FUSED_MAX_AREA:
+                        raise ValueError(
+                            "strip viewport exceeds the fused-path area cap")
+                    if service.mesh is not None:
+                        n_fp = dict(zip(service.mesh.axis_names,
+                                        service.mesh.devices.shape)
+                                    ).get("batch", 1)
+                        if n % n_fp:
+                            raise ValueError(
+                                f"strip n={n} must divide by the mesh "
+                                f"batch axis ({n_fp})")
+                    dt = float(q["dt"][0]) if "dt" in q else None
+                    ticks = service.session.advance_batch(n, dt)
+                    self._send(200, service.strip_jpg(
+                        [t for t, _ in ticks], [c for _, c in ticks],
+                        w, h, giants=g), "image/jpeg")
                 elif url.path == "/session/state":
                     self._json(200, service.session.state())
                 else:
@@ -517,10 +646,12 @@ def serve(state: OceanState, config: OceanConfig, host: str = "127.0.0.1",
     service = FrameService(state, config, mesh=mesh, sharded_fft=sharded_fft)
     service.fields(0.0)  # warmup: compile + first transfer
     try:  # and the viewer's default fused pipeline (best effort)
-        # samples is unused on the fused path; giants defaults to 512 on
-        # both this call and the HTTP handler, so the compiled key
-        # (960, 540, 512) is exactly the viewer's default request key.
-        service.frame_png(0.0, 960, 540, samples=16, fmt="JPEG")
+        # giants defaults to 512 on both this call and the HTTP handler,
+        # so the compiled key (960, 540, 512, 4) is exactly the viewer's
+        # default strip request key.
+        from gfx_ocean_tpu.render.camera import Camera  # noqa: PLC0415
+
+        service.strip_jpg([0.0] * 4, [Camera()] * 4, 960, 540)
     except Exception:  # pragma: no cover - PIL absent etc.
         pass
     server = ThreadingHTTPServer((host, port), _make_handler(service))

@@ -76,7 +76,7 @@ def test_viewer_page(server):
     base, _ = server
     code, body, ctype = _get(base + "/")
     assert code == 200 and ctype == "text/html"
-    assert b"/session/frame.jpg" in body and b"/session/input" in body
+    assert b"/session/strip.jpg" in body and b"/session/input" in body
 
 
 def test_session_frame_jpg(server):
@@ -84,6 +84,48 @@ def test_session_frame_jpg(server):
     code, body, ctype = _get(base + "/session/frame.jpg?w=64&h=48")
     assert code == 200 and ctype == "image/jpeg"
     assert body[:2] == b"\xff\xd8"  # JPEG SOI marker
+
+
+def test_session_strip_jpg(server):
+    """The strip endpoint renders n frames per dispatch, stacked
+    vertically, and ticks the session clock by the full dt."""
+    from PIL import Image
+
+    base, srv = server
+    t_before = srv.service.session.state()["sim_time"]
+    served_before = json.loads(_get(base + "/metrics")[1])["frames_served"]
+    code, body, ctype = _get(base + "/session/strip.jpg?w=64&h=48&n=3&dt=0.06")
+    assert code == 200 and ctype == "image/jpeg"
+    img = Image.open(io.BytesIO(body))
+    assert img.size == (64, 48 * 3)
+    state = srv.service.session.state()
+    assert state["sim_time"] == pytest.approx(t_before + 0.06, abs=1e-6)
+    assert (json.loads(_get(base + "/metrics")[1])["frames_served"]
+            == served_before + 3)
+    # out-of-range n is a client error, not a compile
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(base + "/session/strip.jpg?w=64&h=48&n=50")
+    assert exc.value.code == 400
+
+
+def test_advance_batch_matches_single_ticks():
+    """n strip sub-ticks integrate held keys exactly as n single
+    ``advance`` calls with dt/n (same trajectory, src/lib.rs:139-148)."""
+    from gfx_ocean_tpu.serve import CameraSession
+
+    a, b = CameraSession(), CameraSession()
+    for s in (a, b):
+        s.input("press", "w")
+        s.input("press", "left")
+    ticks = a.advance_batch(4, dt=0.2)
+    singles = [b.advance(0.05) for _ in range(4)]
+    assert len(ticks) == 4
+    for (ta, ca), (tb, cb) in zip(ticks, singles):
+        assert ta == pytest.approx(tb)
+        np.testing.assert_allclose(ca.position, cb.position, rtol=1e-6)
+        np.testing.assert_allclose(ca.rotation, cb.rotation, rtol=1e-6)
 
 
 def test_frame_jpg_stateless(server):

@@ -35,6 +35,64 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def weak_scaling_sweep(env=None):
+    """Weak-scaling record (VERDICT r4 #7): steps/s at 1/2/4/8 row-sharded
+    CPU devices, both FFT strategies — a RELATIVE scaling instrument (the
+    virtual CPU mesh shares one socket, so absolute rates mean nothing;
+    the shape of the curve and the collective-bytes model are what a real
+    pod user can check). Per-step ICI bytes are analytic from the code:
+    each explicit all_to_all moves (D-1)/D of its operand across chips;
+    per 2-D transform the shard_map matmul body reshards (re, im) forward
+    and the result back (parallel/distributed_fft.py:55-76 — 3 planes for
+    a real-out transform, 4 for complex-out), so a packed step (height
+    real-out + Z complex) wires 7 * N^2 * 4 * (D-1)/D bytes; the
+    distributed Pallas four-step exchanges its (2,2,N,N) row-pass planes
+    + the (3,N,N) output bands = the same 7-plane count
+    (distributed_fft.py:196-202). GSPMD's collective choice is
+    compiler-internal (all_gather or all_to_all per pass) — reported as
+    None."""
+    import os
+    import subprocess
+    import sys
+
+    if env is None:
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+    def a2a_gb(n, d):
+        # hermitian_pack auto-on at N >= 1024: 2 transforms (3 + 4 wired
+        # planes); below, 3 real-out transforms (3 planes each).
+        planes = 7 if n >= 1024 else 9
+        return round(planes * n * n * 4 * (d - 1) / d / 1e9, 4)
+
+    scaling = {}
+    for n in (512, 1024):
+        for strat, extra in (("gspmd", []),
+                             ("shard_map", ["--sharded-fft", "shard_map"])):
+            curve = {}
+            for d in (1, 2, 4, 8):
+                try:
+                    out = subprocess.run(
+                        [sys.executable, "-m", "gfx_ocean_tpu", "bench",
+                         "--resolution", str(n), "--steps", "8",
+                         "--repeats", "1", "--time-batch", "1",
+                         "--mesh", f"1,{d}",
+                         *(["--phillips"] if n > 512 else []), *extra],
+                        capture_output=True, text=True, timeout=900, env=env,
+                        cwd=os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))), check=True)
+                    rec = json.loads(out.stdout)
+                    curve[f"d{d}"] = {
+                        "steps_per_sec": round(rec["steps_per_sec"], 2),
+                        "ici_gb_per_step": (a2a_gb(n, d)
+                                            if strat == "shard_map" else None),
+                    }
+                except Exception as e:  # noqa: BLE001
+                    curve[f"d{d}"] = {"ok": False, "error": str(e)[:160]}
+            scaling[f"{n}_{strat}"] = curve
+    return scaling
+
+
 def _throughput(rollout, state, ts, repeats=3):
     from gfx_ocean_tpu.utils.profiling import time_rollout
 
@@ -310,6 +368,8 @@ def main() -> None:
     sharded["note"] = ("virtual 8-device CPU mesh; correctness record "
                        "(multi-chip hardware unavailable), rates not "
                        "comparable to TPU configs")
+
+    sharded["weak_scaling"] = weak_scaling_sweep(env)
     configs["7_sharded_rollout"] = sharded
 
     # config 9 (--ceiling): the 8192^2 grid ceiling of the four-step

@@ -219,7 +219,28 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
     and memory traffic without any semaphores.
     """
 
+    # Checksum mode on the fused Pallas path consumes the kernels' NATIVE
+    # (3, N, N) plane layout: the public channel-last contract would
+    # insert a (3, N, N) -> (N, N, 3) relayout that a sum/normals
+    # consumer never needs (~0.5 ms/step of pure HBM traffic at 4096^2,
+    # visible as slice_bitcast fusions in the trace). Every field is
+    # still fully computed and consumed; only the layout transform of
+    # the unconsumed channel-last VIEW is skipped. Foam needs the
+    # channel-last Jacobian helper, so it keeps the step() path.
+    planes_checksum = (not keep_fields and config.fft_impl == "pallas"
+                       and not config.compute_foam)
+
     def one(state, t, pre=None):
+        if planes_checksum and state.h0.ndim == 3:
+            from gfx_ocean_tpu.ops.pallas_step import pallas_planes  # noqa: PLC0415
+
+            planes = pallas_planes(state.h0, state.omega, t, config)
+            out = jnp.sum(planes, dtype=jnp.float32)
+            if config.compute_normals:
+                normals = finite_difference_normals(
+                    planes[1], config.normal_height_scale)
+                out = out + jnp.sum(normals, dtype=jnp.float32)
+            return out
         fields = step(state, t, config, pre=pre)
         if keep_fields:
             return fields

@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gfx_ocean_tpu.config import OceanConfig
-from gfx_ocean_tpu.ops.propagate import _phase_mod_2pi
+from gfx_ocean_tpu.ops.propagate import _phase_mod_2pi, _sincos_phase
 from gfx_ocean_tpu.ops.fft import (_dft_matrix_np, _dft_matrix_out_alt_np,
                                    _twiddle_np)
 
@@ -370,10 +370,8 @@ def _packed_grid_kernel(
     dot = _make_dot(precision)
     i = pl.program_id(0)
     t = t_ref[0, 0]
-    ph = _phase_mod_2pi(om_ref[:, :], t)
-    c, s = jnp.cos(ph), jnp.sin(ph)
-    phq = _phase_mod_2pi(omq_ref[:, :], t)
-    cq, sq = jnp.cos(phq), jnp.sin(phq)
+    c, s = _sincos_phase(om_ref[:, :], t)
+    cq, sq = _sincos_phase(omq_ref[:, :], t)
     sr = c * pre_ref[0] + s * pre_ref[1]       # S = evolved height spectrum
     si = s * pre_ref[2] + c * pre_ref[3]
     tr = cq * preq_ref[0] + sq * preq_ref[1]   # S o rho
@@ -520,9 +518,9 @@ def _khat_pair_in_kernel(n: int, domain_size: float, wrap: bool,
         scale = jnp.float32(np.pi / domain_size)
         kx = cx * scale
         ky = cy * scale
-        k_len = jnp.sqrt(kx * kx + ky * ky)
-        safe = k_len > 1.0e-10
-        inv = jnp.where(safe, 1.0 / jnp.where(safe, k_len, 1.0), 0.0)
+        q = kx * kx + ky * ky
+        safe = q > 1.0e-20
+        inv = jnp.where(safe, jax.lax.rsqrt(jnp.where(safe, q, 1.0)), 0.0)
         return kx * inv, ky * inv
 
     ic = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
@@ -547,8 +545,8 @@ def _fourstep_row_kernel(
     preq_ref,       # VMEM (4, B, N) f32 — rho-gathered P1..P4, x-PERMUTED
     om_ref,         # VMEM (B, N) f32 — x-PERMUTED
     omq_ref,        # VMEM (B, N) f32 — rho-gathered omega, x-PERMUTED
-    w1r_ref, w1i_ref,   # (N1, N1) — x-half centering fold in rows
-    w2r_ref, w2i_ref,   # (N2, N2)
+    w1cat_ref,      # (2*N1, 2*N1) — stacked complex stage-1 table
+    w2cat_ref,      # (2*N2, 2*N2) — stacked complex stage-2 table
     ttr_ref, tti_ref,   # (N2, N1) twiddle T[k2, n1]
     y_ref,          # VMEM (2, 2, B, N) f32 out — (set, plane), x TRUE order
     *,
@@ -562,6 +560,15 @@ def _fourstep_row_kernel(
     ``_fourstep_fields``), so stage 1 is a pure-view dot and the output
     flatten (B, n2, n1) -> (B, N) is already the true x order.
 
+    Complex dots run STACKED (round 5): the (re, im) pair rides one dot
+    against the block matrix [[Wr, -Wi], [Wi, Wr]] instead of four dots
+    + two combines. This matters on the MXU because the stage-2 DFT
+    matrix is (N2, N2) with N2 = N/128 — at 4096^2 a (32, 32) weight
+    fills 6% of the 128x128 systolic array (the profiled bound: 0.63
+    ms/pass measured vs 0.21 ideal); stacking quadruples the filled
+    area AND halves the dot count. Operand stacking is a concat (VPU
+    copy) paid once per stage, far below what the dots save.
+
     ``t_ref[0, 1]`` is the GLOBAL row index of this array's first row —
     0 single-chip; ``axis_index * local_rows`` under the row-sharded
     distributed pipeline (``parallel/distributed_fft``), where the chip
@@ -569,10 +576,8 @@ def _fourstep_row_kernel(
     at absolute wavenumbers. Exact in f32 for any supported N."""
     dot = _make_dot(precision)
     t = t_ref[0, 0]
-    ph = _phase_mod_2pi(om_ref[:, :], t)
-    c, s = jnp.cos(ph), jnp.sin(ph)
-    phq = _phase_mod_2pi(omq_ref[:, :], t)
-    cq, sq = jnp.cos(phq), jnp.sin(phq)
+    c, s = _sincos_phase(om_ref[:, :], t)
+    cq, sq = _sincos_phase(omq_ref[:, :], t)
     sr = c * pre_ref[0] + s * pre_ref[1]       # S = evolved height spectrum
     si = s * pre_ref[2] + c * pre_ref[3]
     tr = cq * preq_ref[0] + sq * preq_ref[1]   # S o rho
@@ -590,35 +595,35 @@ def _fourstep_row_kernel(
     z_r = dx_r - dz_i                          # Z = H_dx + i * H_dz
     z_i = dx_i + dz_r
 
-    w1r, w1i = w1r_ref[:, :], w1i_ref[:, :]
-    w2r, w2i = w2r_ref[:, :], w2i_ref[:, :]
+    w1cat = w1cat_ref[:, :]
+    w2cat = w2cat_ref[:, :]
     ttr, tti = ttr_ref[:, :], tti_ref[:, :]
 
     def axis_pass(xr, xi, idx):
         # permuted (B, N) -> (B*k2, k1): pure view, no relayout
         xr = xr.reshape(block * n2, n1)
         xi = xi.reshape(block * n2, n1)
-        # stage 1: A = X @ W1^T over k1 — n1 lands in lanes (centering
-        # fold rides W1's rows = the NT output index)
-        ar = dot(xr, w1r, _DIMS_NT) - dot(xi, w1i, _DIMS_NT)
-        ai = dot(xr, w1i, _DIMS_NT) + dot(xi, w1r, _DIMS_NT)
+        # stage 1: [A_r | A_i] = [X_r | X_i] @ W1cat^T over k1 — n1
+        # lands in lanes (centering fold rides W1's rows = the NT
+        # output index)
+        x_cat = jnp.concatenate([xr, xi], axis=-1)
+        a = dot(x_cat, w1cat, _DIMS_NT)
         # twiddle T[k2, n1], broadcast over the band
-        ar = ar.reshape(block, n2, n1)
-        ai = ai.reshape(block, n2, n1)
+        ar = a[:, :n1].reshape(block, n2, n1)
+        ai = a[:, n1:].reshape(block, n2, n1)
         br = ar * ttr - ai * tti
         bi = ar * tti + ai * ttr
-        # stage 2: Y = W2 @ B over k2 ((B, k2, n1) -> (k2, B*n1) is
-        # sublane-only; lanes untouched)
+        # stage 2: [Y_r; Y_i] = W2cat @ [B_r; B_i] over k2 ((B, k2, n1)
+        # -> (k2, B*n1) is sublane-only; lanes untouched)
         br = br.transpose(1, 0, 2).reshape(n2, block * n1)
         bi = bi.transpose(1, 0, 2).reshape(n2, block * n1)
-        yr = dot(w2r, br, _DIMS_NN) - dot(w2i, bi, _DIMS_NN)
-        yi = dot(w2r, bi, _DIMS_NN) + dot(w2i, br, _DIMS_NN)
+        yv = dot(w2cat, jnp.concatenate([br, bi], axis=0), _DIMS_NN)
         # (n2, B, n1) -> (B, n2, n1): sublane-only; flat = n2*N1 + n1 =
         # the TRUE x index — no deferred unblocking needed
-        y_ref[idx, 0] = yr.reshape(n2, block, n1).transpose(1, 0, 2).reshape(
-            block, n)
-        y_ref[idx, 1] = yi.reshape(n2, block, n1).transpose(1, 0, 2).reshape(
-            block, n)
+        y_ref[idx, 0] = yv[:n2].reshape(n2, block, n1).transpose(
+            1, 0, 2).reshape(block, n)
+        y_ref[idx, 1] = yv[n2:].reshape(n2, block, n1).transpose(
+            1, 0, 2).reshape(block, n)
 
     axis_pass(h_r, h_i, 0)
     axis_pass(z_r, z_i, 1)
@@ -626,45 +631,49 @@ def _fourstep_row_kernel(
 
 def _fourstep_col_kernel(
     y_ref,          # VMEM (2, 2, N, C) f32 — row-pass planes, C true-x cols
-    w1r_ref, w1i_ref,   # (N1, N1) — y-half fold + Q2 flip in rows
-    w2r_ref, w2i_ref,   # (N2, N2)
+    w1cat_ref,      # (2*N1, 2*N1) — stacked stage-1 (y-half fold + Q2 flip)
+    w2cat_ref,      # (2*N2, 2*N2) — stacked stage-2
+    w2top_ref,      # (N2, 2*N2) — stage-2 real-output rows (height)
     ttr_ref, tti_ref,   # (N1, N2)
     out_ref,        # VMEM (3, N, C) f32 — (disp_x, height, disp_z)
     *,
     n: int, n1: int, n2: int, precision: str,
 ):
-    """Four-step column pass, real/complex out, for one column band."""
+    """Four-step column pass, real/complex out, for one column band.
+
+    Complex dots run STACKED against [[Wr, -Wi], [Wi, Wr]] block tables
+    (see the row kernel's docstring — the (N2, N2) stage-2 matrix alone
+    fills 6% of the MXU at 4096^2; stacked it fills 25% and the dot
+    count halves). The stage-1 operand [X_r; X_i] is a PURE VIEW of the
+    y block ((2, N, C) -> (2*n1, n2*C) groups plane-major over m1)."""
     dot = _make_dot(precision)
-    w1r, w1i = w1r_ref[:, :], w1i_ref[:, :]
-    w2r, w2i = w2r_ref[:, :], w2i_ref[:, :]
+    w1cat = w1cat_ref[:, :]
+    w2cat = w2cat_ref[:, :]
+    w2top = w2top_ref[:, :]
     ttr, tti = ttr_ref[:, :][:, :, None], tti_ref[:, :][:, :, None]
     cb = y_ref.shape[-1]
 
-    def stages(xr, xi):
-        # rows m = N2*m1 + m2: m1 is the outer dim — natural (m1, m2*C) view
-        xr = xr.reshape(n1, n2 * cb)
-        xi = xi.reshape(n1, n2 * cb)
-        ar = dot(w1r, xr, _DIMS_NN) - dot(w1i, xi, _DIMS_NN)
-        ai = dot(w1r, xi, _DIMS_NN) + dot(w1i, xr, _DIMS_NN)
-        ar = ar.reshape(n1, n2, cb)
-        ai = ai.reshape(n1, n2, cb)
+    def stages(x_cat):
+        # rows m = N2*m1 + m2: m1 is the outer dim — natural (m1, m2*C)
+        # view, stacked plane-major: (2, n1, n2*C) -> (2*n1, n2*C)
+        a = dot(w1cat, x_cat, _DIMS_NN)
+        ar = a[:n1].reshape(n1, n2, cb)
+        ai = a[n1:].reshape(n1, n2, cb)
         br = ar * ttr - ai * tti
         bi = ar * tti + ai * ttr
         # (n1, m2, C) -> (m2, n1*C): sublane-only relayout, then W2 @ .
         br = br.transpose(1, 0, 2).reshape(n2, n1 * cb)
         bi = bi.transpose(1, 0, 2).reshape(n2, n1 * cb)
-        return br, bi
+        return jnp.concatenate([br, bi], axis=0)
 
-    # height: real output only (correction keeps Re — 2 dots, not 4)
-    br, bi = stages(y_ref[0, 0], y_ref[0, 1])
-    out_ref[1] = (dot(w2r, br, _DIMS_NN) - dot(w2i, bi, _DIMS_NN)).reshape(
-        n, cb)
+    # height: real output only (correction keeps Re — the top block rows)
+    b_cat = stages(y_ref[0].reshape(2 * n1, n2 * cb))
+    out_ref[1] = dot(w2top, b_cat, _DIMS_NN).reshape(n, cb)
     # packed choppy pair: Re -> disp_x, Im -> disp_z
-    br, bi = stages(y_ref[1, 0], y_ref[1, 1])
-    out_ref[0] = (dot(w2r, br, _DIMS_NN) - dot(w2i, bi, _DIMS_NN)).reshape(
-        n, cb)
-    out_ref[2] = (dot(w2r, bi, _DIMS_NN) + dot(w2i, br, _DIMS_NN)).reshape(
-        n, cb)
+    b_cat = stages(y_ref[1].reshape(2 * n1, n2 * cb))
+    zv = dot(w2cat, b_cat, _DIMS_NN)
+    out_ref[0] = zv[:n2].reshape(n, cb)
+    out_ref[2] = zv[n2:].reshape(n, cb)
 
 
 def _fourstep_bands(n: int):
@@ -696,17 +705,32 @@ def _fourstep_plan(n: int, config: OceanConfig):
     return n1, n2, block, cblock
 
 
+def _cat_complex_np(wr, wi):
+    """[[Wr, -Wi], [Wi, Wr]]: one stacked real matmul = a complex matmul.
+
+    Block rows select the (re, im) OUTPUT, block columns the (re, im)
+    contraction operand — valid for both the NN form ([Yr; Yi] = Wcat @
+    [Xr; Xi]) and the NT form ([Yr | Yi] = [Xr | Xi] @ Wcat^T)."""
+    return np.concatenate([np.concatenate([wr, -wi], axis=1),
+                           np.concatenate([wi, wr], axis=1)], axis=0)
+
+
 def _fourstep_tables(n: int, n1: int, n2: int, negate: bool):
-    """The six row-pass + six col-pass DFT/twiddle tables (device consts)."""
-    w1r_row, w1i_row = (jnp.asarray(a) for a in
-                        _dft_matrix_out_alt_np(n1, 1, 0, False))
-    w1r_col, w1i_col = (jnp.asarray(a) for a in
-                        _dft_matrix_out_alt_np(n1, 1, 0, negate))
-    w2r, w2i = (jnp.asarray(a) for a in _dft_matrix_np(n2, 1))
+    """The row-pass + col-pass stacked DFT/twiddle tables (device consts).
+
+    Row: (W1cat (2n1, 2n1), W2cat (2n2, 2n2), Ttr, Tti (n2, n1));
+    col: (W1cat, W2cat, W2top (n2, 2n2) — the real-output rows for the
+    height field, Ttr, Tti (n1, n2))."""
+    w1_row = _cat_complex_np(*_dft_matrix_out_alt_np(n1, 1, 0, False))
+    w1_col = _cat_complex_np(*_dft_matrix_out_alt_np(n1, 1, 0, negate))
+    w2r, w2i = _dft_matrix_np(n2, 1)
+    w2cat = _cat_complex_np(w2r, w2i)
+    w2top = w2cat[:n2]
     ttr_row, tti_row = (jnp.asarray(a) for a in _twiddle_np(n2, n1, 1))
     ttr, tti = (jnp.asarray(a) for a in _twiddle_np(n1, n2, 1))
-    return ((w1r_row, w1i_row, w2r, w2i, ttr_row, tti_row),
-            (w1r_col, w1i_col, w2r, w2i, ttr, tti))
+    return ((jnp.asarray(w1_row), jnp.asarray(w2cat), ttr_row, tti_row),
+            (jnp.asarray(w1_col), jnp.asarray(w2cat), jnp.asarray(w2top),
+             ttr, tti))
 
 
 def _fourstep_permute_inputs(h0_pair, omega, config: OceanConfig, n: int,
@@ -759,7 +783,7 @@ def _fourstep_row_call(t2, pre, pre_rho, omega_p, omega_rho, tabs,
             pl.BlockSpec((4, block, n), lambda i: (0, i, 0), memory_space=vmem),
             pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=vmem),
             pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=vmem),
-            tabspec, tabspec, tabspec, tabspec, tabspec, tabspec,
+            tabspec, tabspec, tabspec, tabspec,
         ],
         out_specs=pl.BlockSpec((2, 2, block, n), lambda i: (0, 0, i, 0),
                                memory_space=vmem),
@@ -791,7 +815,7 @@ def _fourstep_col_call(y, tabs, config: OceanConfig, n: int, n1: int,
         in_specs=[
             pl.BlockSpec((2, 2, n, cblock), lambda j: (0, 0, 0, j),
                          memory_space=vmem),
-            tabspec, tabspec, tabspec, tabspec, tabspec, tabspec,
+            tabspec, tabspec, tabspec, tabspec, tabspec,
         ],
         out_specs=pl.BlockSpec((3, n, cblock), lambda j: (0, 0, j),
                                memory_space=vmem),
@@ -824,39 +848,43 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
-def pallas_fields(
+def pallas_planes(
     h0_pair: jnp.ndarray,
     omega: jnp.ndarray,
     t: jnp.ndarray,
     config: OceanConfig,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused step: (2, N, N) h0 planes + omega + t -> (N, N, 3) displacement.
+    """Fused step in the kernels' NATIVE plane-major layout: (2, N, N) h0
+    planes + omega + t -> (3, N, N) (disp_x, height, disp_z).
+
+    ``pallas_fields`` wraps this with the channel-last moveaxis of the
+    public contract (the rgba packing of ``shader/correction.comp:31``);
+    plane-major consumers (the checksum rollout, anything reading one
+    field) should use this directly — at 4096^2 the (3, N, N) ->
+    (N, N, 3) relayout alone costs ~0.5 ms/step of HBM traffic.
 
     Equivalent to propagate + centered ifft2_real_unnorm + channel packing
-    (tested against both the jnp path and the CPU golden). N <= 512 at
-    non-"highest" precision runs as ONE VMEM-resident kernel; 512@"highest"
-    uses the row/column-blocked two-kernel pipeline (``_blocked_fields``);
-    N >= 1024 uses the four-step two-kernel pipeline (``_fourstep_fields``
-    — fused packed-Hermitian propagate + in-VMEM four-step stages in
-    true index order, the Pallas answer to the XLA einsum plateau at the
-    reference's scaling frontier, SURVEY §7.3; on v5e it measures
-    ~2,000 / 602 / 151 steps/s at 1024/2048/4096 vs 1,296 / 480 / 69.5
-    for the best XLA paths).
+    (tested against both the jnp path and the CPU golden). N <= 512 runs
+    as ONE VMEM-resident kernel (the Hermitian-packed grid kernel when
+    ``config.hermitian_pack``, the default; the unpacked single block
+    otherwise, except 512@"highest" which falls back to the row/column-
+    blocked two-kernel pipeline, ``_blocked_fields``); N >= 1024 uses the
+    four-step two-kernel pipeline (``_fourstep_fields`` — fused
+    packed-Hermitian propagate + in-VMEM four-step stages in true index
+    order, the Pallas answer to the XLA einsum plateau at the reference's
+    scaling frontier, SURVEY §7.3).
     """
     if h0_pair.ndim != 3:
-        raise ValueError("pallas_fields takes a single unbatched state; vmap for cascades")
+        raise ValueError("pallas planes/fields take a single unbatched state; vmap for cascades")
     n = h0_pair.shape[-1]
     t_arr = jnp.reshape(t.astype(jnp.float32), (1, 1))
     if n > 512:
-        planes = _fourstep_fields(h0_pair, omega, t_arr, config, n,
-                                  interpret)
-        return jnp.moveaxis(planes, 0, -1)
+        return _fourstep_fields(h0_pair, omega, t_arr, config, n, interpret)
 
     if config.hermitian_pack:
-        planes = _packed_single_fields(h0_pair, omega, t_arr, config, n,
-                                       interpret)
-        return jnp.moveaxis(planes, 0, -1)
+        return _packed_single_fields(h0_pair, omega, t_arr, config, n,
+                                     interpret)
 
     # A = D_alt @ W: the y-half of the centering sign folded into rows.
     awr, awi = (jnp.asarray(a) for a in _dft_matrix_out_alt_np(n, 1, 0, False))
@@ -897,5 +925,19 @@ def pallas_fields(
             transcendentals=2 * n * n,
         ),
     )(t_arr, h0_pair, h0n, omega, awr, awi)
-    # (disp_x, height, disp_z) channel order of shader/correction.comp:31-34.
-    return jnp.moveaxis(planes, 0, -1)
+    return planes
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def pallas_fields(
+    h0_pair: jnp.ndarray,
+    omega: jnp.ndarray,
+    t: jnp.ndarray,
+    config: OceanConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused step: (2, N, N) h0 planes + omega + t -> (N, N, 3) displacement
+    in the (disp_x, height, disp_z) channel order of
+    ``shader/correction.comp:31-34``. See :func:`pallas_planes`."""
+    return jnp.moveaxis(
+        pallas_planes(h0_pair, omega, t, config, interpret), 0, -1)

@@ -137,6 +137,50 @@ def _phase_mod_2pi(omega: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return (((p - k * _C1) - k * _C2) - k * _C3) + err
 
 
+# pi/2 = _P1 + _P2 + _P3 with _P1/_P2 carrying few mantissa bits: q * _P1
+# is exact for the post-reduction quadrant index q in {-2..2}.
+_P1 = np.float32(1.5703125)
+_P2 = np.float32(4.8375129699707031e-4)
+_P3 = np.float32(7.5497899487686475e-8)
+# Cephes f32 minimax coefficients on [-pi/4, pi/4].
+_SS1 = np.float32(-1.6666654611e-1)
+_SS2 = np.float32(8.3321608736e-3)
+_SS3 = np.float32(-1.9515295891e-4)
+_CC1 = np.float32(4.166664568298827e-2)
+_CC2 = np.float32(-1.388731625493765e-3)
+_CC3 = np.float32(2.443315711809948e-5)
+
+
+def _sincos_phase(omega: jnp.ndarray, t: jnp.ndarray):
+    """(cos, sin) of omega*t: Dekker-grade phase + polynomial kernel.
+
+    ``jnp.cos``/``jnp.sin`` after :func:`_phase_mod_2pi` re-run a
+    conservative range reduction the phase has already paid for. Here the
+    reduced phase x in [-pi, pi] goes through one exact pi/2 quadrant
+    step (q in {-2..2} — the Cody-Waite products are exact) and a
+    degree-7/8 minimax pair on [-pi/4, pi/4] (~1e-7 abs, far below the
+    bf16x3 transform floor). Pure arithmetic + selects — Mosaic-safe, and
+    measured ~2x cheaper than the stock pair inside the four-step row
+    kernel where 4 transcendental planes per step were the largest
+    non-MXU cost (docs/BENCH.md round-5 roofline).
+    """
+    x = _phase_mod_2pi(omega, t)
+    q = jnp.round(x * jnp.float32(2.0 / np.pi))
+    r = ((x - q * _P1) - q * _P2) - q * _P3
+    r2 = r * r
+    sin_r = r + r * r2 * (_SS1 + r2 * (_SS2 + r2 * _SS3))
+    cos_r = (jnp.float32(1.0) - jnp.float32(0.5) * r2
+             + r2 * r2 * (_CC1 + r2 * (_CC2 + r2 * _CC3)))
+    iq = q.astype(jnp.int32) & 3      # two's-complement: -1 & 3 == 3
+    swap = (iq & 1) == 1
+    s_base = jnp.where(swap, cos_r, sin_r)
+    c_base = jnp.where(swap, sin_r, cos_r)
+    one = jnp.float32(1.0)
+    s_sign = jnp.where(iq >= 2, -one, one)
+    c_sign = jnp.where((iq == 1) | (iq == 2), -one, one)
+    return c_base * c_sign, s_base * s_sign
+
+
 def propagate_planes_pre(
     pre: jnp.ndarray,
     omega: jnp.ndarray,

@@ -123,8 +123,10 @@ def frame_bench_main() -> None:
     h = int(os.environ.get("GFX_OCEAN_FRAME_H", "700"))
     state = ot.ocean_state_from_assets()
     fr = make_frame_renderer(ot.OceanConfig(), width=w, height=h)
-    vp = jnp.asarray((perspective(w / h) @ Camera().view()).astype(np.float32))
-    cp = jnp.asarray(Camera().position.astype(np.float32))
+    vp_np = (perspective(w / h) @ Camera().view()).astype(np.float32)
+    cp_np = Camera().position.astype(np.float32)
+    vp = jnp.asarray(vp_np)
+    cp = jnp.asarray(cp_np)
     args = (state, jnp.float32(11.25), vp, cp)
     out = fr(*args)
     np.asarray(out).reshape(-1)[:1]  # warm + force
@@ -136,10 +138,50 @@ def frame_bench_main() -> None:
     np.asarray(out).reshape(-1)[:1]
     wall_ms = (time.perf_counter() - t0) / depth * 1e3
     dev_ms = traced_device_ms(fr, args, frames=10)
+
+    # Strip mode (the serve /session/strip.jpg path): B frames per
+    # dispatch amortize the tunnel's fixed per-dispatch RPC tax — the
+    # attackable share of the single-frame wall gap (device ~13 ms vs
+    # wall ~19-20 ms; the single-frame loop above pays one dispatch RPC
+    # per frame, serialized on the host even with frames in flight).
+    # Timed with the same download-once rule as pipelined_wall_ms.
+    from gfx_ocean_tpu.render.raster import make_batch_renderer
+
+    batch = int(os.environ.get("GFX_OCEAN_FRAME_BATCH", "6"))
+    bfr = make_batch_renderer(ot.OceanConfig(), width=w, height=h)
+    bargs = (state, jnp.arange(batch, dtype=jnp.float32) * (1.0 / 60.0),
+             jnp.asarray(np.stack([vp_np] * batch)),
+             jnp.asarray(np.stack([cp_np] * batch)))
+    np.asarray(bfr(*bargs)).reshape(-1)[:1]  # warm + force
+    strips = 4
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(strips):
+        out = bfr(*bargs)
+    jax.block_until_ready(out)
+    np.asarray(out).reshape(-1)[:1]
+    strip_wall_ms = (time.perf_counter() - t0) / (strips * batch) * 1e3
+
+    # The remaining, un-amortizable serving cost: the raw uint8 frame
+    # download across the tunnel (a real deployment presents locally;
+    # serve JPEG-encodes AFTER this download). Measured, not assumed.
+    frame_dev = fr(*args)
+    np.asarray(frame_dev).reshape(-1)[:1]
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        np.asarray(frame_dev)
+    xfer_ms = (time.perf_counter() - t0) / reps * 1e3
+    mbytes = w * h * 3 / 1e6
+
     print(_json.dumps({
         "viewport": f"{w}x{h}",
         "pipelined_wall_ms": round(wall_ms, 1),
         "device_ms": None if np.isnan(dev_ms) else round(dev_ms, 1),
+        "strip_batch": batch,
+        "strip_wall_ms_per_frame": round(strip_wall_ms, 1),
+        "tunnel_frame_download_ms": round(xfer_ms, 1),
+        "tunnel_transfer_mb_per_s": round(mbytes / xfer_ms * 1e3, 1),
     }))
 
 

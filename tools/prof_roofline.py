@@ -78,9 +78,12 @@ def trace_rollout(n: int, steps: int = 20,
             names[e["pid"]] = e["args"].get("name", "")
     by_op = collections.Counter()
     for e in data["traceEvents"]:
+        # jit_* module events and while/body loop wrappers CONTAIN their
+        # children — counting them would double the total.
         if (e.get("ph") == "X" and "dur" in e
                 and "TPU" in names.get(e.get("pid"), "")
-                and not e["name"].startswith("jit_")):
+                and not e["name"].startswith(("jit_", "while", "body",
+                                              "condition"))):
             by_op[e["name"]] += e["dur"]
     return {op: dur / 1e3 / steps for op, dur in by_op.items()}  # ms/step
 
@@ -97,8 +100,13 @@ def main() -> None:
     for n in grids:
         per_op = trace_rollout(n)
         model = step_model(n)
-        row_ms = sum(ms for op, ms in per_op.items() if "fourstep_row" in op)
-        col_ms = sum(ms for op, ms in per_op.items() if "fourstep_col" in op)
+        # The two Mosaic kernels trace as pallas_* custom calls in program
+        # order: row pass first, column pass second.
+        pallas = sorted((op for op in per_op if "pallas" in op),
+                        key=lambda op: per_op[op], reverse=True)[:2]
+        pallas.sort()
+        row_ms = per_op[pallas[0]] if pallas else 0.0
+        col_ms = per_op[pallas[1]] if len(pallas) > 1 else 0.0
         total_ms = sum(per_op.values())
         other_ms = total_ms - row_ms - col_ms
         top = sorted(per_op.items(), key=lambda kv: -kv[1])[:10]

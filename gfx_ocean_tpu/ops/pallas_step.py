@@ -699,9 +699,24 @@ def _fourstep_plan(n: int, config: OceanConfig):
     n1 = 128
     n2 = n // n1
     block, cblock = _fourstep_bands(n)
-    if n % block or n % cblock or n2 < 8 or n2 > 64:
+    if n % block or n % cblock or n2 < 8 or n2 > 128:
         raise ValueError(
-            f"four-step pallas pipeline supports N in [1024, 8192], got {n}")
+            f"four-step pallas pipeline supports N in [1024, 16384], got {n}")
+    if n2 > 64 and config.hermitian_pack is not False:
+        # 16384^2 single-chip capacity arithmetic (docs/DESIGN.md round 5):
+        # the packed pipeline's resident planes (10 hoisted permuted
+        # inputs + 3 state + 4 y + 3 out = 1.07 GB each) total ~18-21 GB,
+        # past the 16 GB HBM of one v5e. The grid fits the ROW-SHARDED
+        # distributed pipeline at D >= 2
+        # (parallel.distributed_fft.pallas_fourstep_fields_sharded,
+        # ~9.5 GB/chip at D=2), which passes plan validation through this
+        # same function — only the unsharded single-chip entry warns.
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            "16384^2 exceeds one chip's HBM with the packed pipeline "
+            "(~18 GB resident); use the row-sharded distributed path "
+            "(mesh with D >= 2 rows)", stacklevel=2)
     return n1, n2, block, cblock
 
 

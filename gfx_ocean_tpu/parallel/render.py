@@ -26,6 +26,7 @@ band split on a 2-D mesh.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -121,7 +122,12 @@ def make_sharded_batch_renderer(
     n_fp = mesh.shape[frame_axis]
 
     def local(state, ts, vps, cps):
-        return jax.vmap(band_fn, in_axes=(None, 0, 0, 0))(state, ts, vps, cps)
+        # Unrolled, not vmapped: vmap degrades the rasterizer's
+        # while_loop/sort/scatter lowering ~6x on device (see
+        # render.raster.make_batch_renderer). The local frame count
+        # (F / mesh[frame_axis]) is static under jit.
+        return jnp.stack([band_fn(state, ts[i], vps[i], cps[i])
+                          for i in range(ts.shape[0])])
 
     rep = P()
     state_specs = OceanState(h0=rep, omega=rep)

@@ -1579,13 +1579,26 @@ def make_batch_renderer(
     pool: int | None = None,
 ):
     """Batched fused pipeline: ``fn(state, ts, view_projs, camera_pos) ->
-    (F, H, W, 3) uint8`` — vmap of the one-dispatch frame over a frame
-    axis. This is what ``cli.py render`` chunks over: one dispatch + ONE
-    uint8 transfer per chunk instead of a ~60 ms tunnel round trip per
-    frame (the sim is stateless in time, so frames are independent and
-    batch freely — SURVEY.md §2.5 task parallelism)."""
+    (F, H, W, 3) uint8`` — an UNROLLED loop of single-frame bodies inside
+    one jit (specialized per frame count). This is what ``cli.py render``
+    chunks over and what serve's /session/strip.jpg dispatches: one
+    dispatch + ONE uint8 transfer per chunk instead of a ~60 ms tunnel
+    round trip per frame (the sim is stateless in time, so frames are
+    independent and batch freely — SURVEY.md §2.5 task parallelism).
+
+    NOT a vmap: under vmap the rasterizer's dynamic-trip ``while_loop``
+    (the inert giant pass) and the batched sort/scatter-min lower
+    catastrophically — measured 73.8 ms/frame at 1200x700 B=6 on v5e vs
+    12.8 ms for the single-frame program. Unrolled, every frame lowers
+    exactly like the single-frame program (same device ms/frame) and the
+    strip still amortizes the per-dispatch RPC tax."""
     one = _fused_frame_fn(config, width, height, giants, pool)
-    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+
+    def strip(state, ts, view_projs, camera_pos):
+        return jnp.stack([one(state, ts[i], view_projs[i], camera_pos[i])
+                          for i in range(ts.shape[0])])
+
+    return jax.jit(strip)
 
 
 def render_frames(

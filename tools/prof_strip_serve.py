@@ -24,11 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def drive(base: str, path: str, frames_per_req: int, total_frames: int) -> dict:
-    def get():
-        with urllib.request.urlopen(base + path, timeout=120) as r:
+    def get(timeout: int = 120):
+        with urllib.request.urlopen(base + path, timeout=timeout) as r:
             return r.read()
 
-    get()  # warm (compile already done by server warmup, but prime route)
+    # warm: this route's viewport key may need a fresh compile (minutes
+    # through the tunnel)
+    get(timeout=1800)
     reqs = max(2, total_frames // frames_per_req)
     pool = ThreadPoolExecutor(max_workers=2)
     t0 = time.perf_counter()

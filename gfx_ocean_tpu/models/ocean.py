@@ -252,10 +252,28 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
             out = out + jnp.sum(fields.foam, dtype=jnp.float32)
         return out
 
+    def one_batch(state, ts):
+        # In-kernel time batch (round 5): on the four-step path the tb
+        # frames share one fetch of the row kernel's 10 hoisted propagate
+        # planes (its dominant HBM traffic); vmap-of-pallas_call would
+        # re-stream them per frame. Per-frame results are bit-identical
+        # to the tb=1 kernel (ops/pallas_step.pallas_planes_batch).
+        from gfx_ocean_tpu.ops.pallas_step import pallas_planes_batch  # noqa: PLC0415
+
+        planes = pallas_planes_batch(state.h0, state.omega, ts, config)
+        out = jnp.sum(planes, axis=(1, 2, 3), dtype=jnp.float32)
+        if config.compute_normals:
+            normals = jax.vmap(lambda p: finite_difference_normals(
+                p, config.normal_height_scale))(planes[:, 1])
+            out = out + jnp.sum(normals, axis=(1, 2, 3), dtype=jnp.float32)
+        return out
+
     def body(carry, t):
         state, pre = carry
         if time_batch == 1:
             return carry, one(state, t, pre)
+        if planes_checksum and state.h0.ndim == 3:
+            return carry, one_batch(state, t)
         return carry, jax.vmap(lambda tt: one(state, tt, pre))(t)
 
     def rollout(state: OceanState, ts: jax.Array):

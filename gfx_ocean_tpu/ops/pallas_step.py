@@ -540,7 +540,7 @@ def _khat_pair_in_kernel(n: int, domain_size: float, wrap: bool,
 
 
 def _fourstep_row_kernel(
-    t_ref,          # SMEM (1, 2) f32 — [t, global row base]
+    t_ref,          # SMEM (1, tb + 1) f32 — [t_0..t_{tb-1}, global row base]
     pre_ref,        # VMEM (4, B, N) f32 — P1..P4 row band, x-PERMUTED
     preq_ref,       # VMEM (4, B, N) f32 — rho-gathered P1..P4, x-PERMUTED
     om_ref,         # VMEM (B, N) f32 — x-PERMUTED
@@ -548,12 +548,23 @@ def _fourstep_row_kernel(
     w1cat_ref,      # (2*N1, 2*N1) — stacked complex stage-1 table
     w2cat_ref,      # (2*N2, 2*N2) — stacked complex stage-2 table
     ttr_ref, tti_ref,   # (N2, N1) twiddle T[k2, n1]
-    y_ref,          # VMEM (2, 2, B, N) f32 out — (set, plane), x TRUE order
+    y_ref,          # VMEM out — (2, 2, B, N) f32, or (tb, 2, 2, B, N) tb>1
     *,
-    n: int, n1: int, n2: int, block: int,
+    n: int, n1: int, n2: int, block: int, tb: int,
     domain_size: float, wrap_k: bool, precision: str,
 ):
     """Packed Hermitian propagate + four-step row pass for one row band.
+
+    ``tb`` (the in-kernel TIME BATCH, round 5) processes tb time values
+    per band fetch: the 10 hoisted propagate planes — the row kernel's
+    dominant HBM traffic (55% of peak at 4096^2, docs/BENCH.md roofline)
+    — and the in-kernel k-hat grids are read/computed ONCE and reused
+    for every t in the batch, cutting per-step input bytes by tb x.
+    Frames stay independent (the sim is stateless in time, SURVEY §5);
+    each t's dots have identical shapes to the tb=1 kernel, so per-frame
+    outputs are bit-identical to tb=1. The vmap form of time batching
+    (models.make_rollout) cannot do this: a vmapped pallas_call re-streams
+    every input plane per frame.
 
     Inputs arrive x-permuted (column c = k2*N1 + k1 holds true k =
     k1*N2 + k2, applied once to the time-invariant tables in
@@ -575,31 +586,15 @@ def _fourstep_row_kernel(
     sees only its band but the in-kernel k-hat grids must be evaluated
     at absolute wavenumbers. Exact in f32 for any supported N."""
     dot = _make_dot(precision)
-    t = t_ref[0, 0]
-    c, s = _sincos_phase(om_ref[:, :], t)
-    cq, sq = _sincos_phase(omq_ref[:, :], t)
-    sr = c * pre_ref[0] + s * pre_ref[1]       # S = evolved height spectrum
-    si = s * pre_ref[2] + c * pre_ref[3]
-    tr = cq * preq_ref[0] + sq * preq_ref[1]   # S o rho
-    ti = sq * preq_ref[2] + cq * preq_ref[3]
-    half = jnp.float32(0.5)
-    h_r = half * (sr + tr)
-    h_i = half * (si - ti)
-    row_off = jnp.float32(pl.program_id(0) * block) + t_ref[0, 1]
+    row_off = jnp.float32(pl.program_id(0) * block) + t_ref[0, tb]
     khx, khy, khxq, khyq = _khat_pair_in_kernel(
         n, domain_size, wrap_k, block, row_off, perm_n1=n1)
-    dx_r = half * (khx * si + khxq * ti)
-    dx_i = half * (khxq * tr - khx * sr)
-    dz_r = half * (khy * si + khyq * ti)
-    dz_i = half * (khyq * tr - khy * sr)
-    z_r = dx_r - dz_i                          # Z = H_dx + i * H_dz
-    z_i = dx_i + dz_r
 
     w1cat = w1cat_ref[:, :]
     w2cat = w2cat_ref[:, :]
     ttr, tti = ttr_ref[:, :], tti_ref[:, :]
 
-    def axis_pass(xr, xi, idx):
+    def axis_pass(xr, xi):
         # permuted (B, N) -> (B*k2, k1): pure view, no relayout
         xr = xr.reshape(block * n2, n1)
         xi = xi.reshape(block * n2, n1)
@@ -620,13 +615,36 @@ def _fourstep_row_kernel(
         yv = dot(w2cat, jnp.concatenate([br, bi], axis=0), _DIMS_NN)
         # (n2, B, n1) -> (B, n2, n1): sublane-only; flat = n2*N1 + n1 =
         # the TRUE x index — no deferred unblocking needed
-        y_ref[idx, 0] = yv[:n2].reshape(n2, block, n1).transpose(
-            1, 0, 2).reshape(block, n)
-        y_ref[idx, 1] = yv[n2:].reshape(n2, block, n1).transpose(
-            1, 0, 2).reshape(block, n)
+        return (yv[:n2].reshape(n2, block, n1).transpose(
+                    1, 0, 2).reshape(block, n),
+                yv[n2:].reshape(n2, block, n1).transpose(
+                    1, 0, 2).reshape(block, n))
 
-    axis_pass(h_r, h_i, 0)
-    axis_pass(z_r, z_i, 1)
+    for j in range(tb):
+        t = t_ref[0, j]
+        c, s = _sincos_phase(om_ref[:, :], t)
+        cq, sq = _sincos_phase(omq_ref[:, :], t)
+        sr = c * pre_ref[0] + s * pre_ref[1]       # S = evolved height spectrum
+        si = s * pre_ref[2] + c * pre_ref[3]
+        tr = cq * preq_ref[0] + sq * preq_ref[1]   # S o rho
+        ti = sq * preq_ref[2] + cq * preq_ref[3]
+        half = jnp.float32(0.5)
+        h_r = half * (sr + tr)
+        h_i = half * (si - ti)
+        dx_r = half * (khx * si + khxq * ti)
+        dx_i = half * (khxq * tr - khx * sr)
+        dz_r = half * (khy * si + khyq * ti)
+        dz_i = half * (khyq * tr - khy * sr)
+        z_r = dx_r - dz_i                          # Z = H_dx + i * H_dz
+        z_i = dx_i + dz_r
+        h0p, h1p = axis_pass(h_r, h_i)
+        z0p, z1p = axis_pass(z_r, z_i)
+        if tb == 1:
+            y_ref[0, 0], y_ref[0, 1] = h0p, h1p
+            y_ref[1, 0], y_ref[1, 1] = z0p, z1p
+        else:
+            y_ref[j, 0, 0], y_ref[j, 0, 1] = h0p, h1p
+            y_ref[j, 1, 0], y_ref[j, 1, 1] = z0p, z1p
 
 
 def _fourstep_col_kernel(
@@ -780,18 +798,29 @@ def _fourstep_row_call(t2, pre, pre_rho, omega_p, omega_rho, tabs,
                        config: OceanConfig, n: int, n1: int, n2: int,
                        block: int, interpret: bool) -> jnp.ndarray:
     """Row-pass pallas_call over the (possibly shard-local) rows of
-    ``pre``; ``t2`` is the (1, 2) [t, global row base] SMEM scalar pair."""
+    ``pre``; ``t2`` is the (1, tb + 1) [t_0..t_{tb-1}, global row base]
+    SMEM scalar row. With tb > 1 the kernel time-batches (one band fetch
+    serves tb frames) and the result grows a leading (tb,) axis."""
     rows = pre.shape[-2]
+    tb = t2.shape[1] - 1
     vmem = pltpu.VMEM
     row_kernel = functools.partial(
-        _fourstep_row_kernel, n=n, n1=n1, n2=n2, block=block,
+        _fourstep_row_kernel, n=n, n1=n1, n2=n2, block=block, tb=tb,
         domain_size=float(config.domain_size), wrap_k=config.compat.wrap_k,
         precision=config.matmul_precision)
     tabspec = pl.BlockSpec(memory_space=vmem)
+    if tb == 1:
+        out_shape = jax.ShapeDtypeStruct((2, 2, rows, n), jnp.float32)
+        out_spec = pl.BlockSpec((2, 2, block, n), lambda i: (0, 0, i, 0),
+                                memory_space=vmem)
+    else:
+        out_shape = jax.ShapeDtypeStruct((tb, 2, 2, rows, n), jnp.float32)
+        out_spec = pl.BlockSpec((tb, 2, 2, block, n),
+                                lambda i: (0, 0, 0, i, 0), memory_space=vmem)
     return pl.pallas_call(
         row_kernel,
         grid=(rows // block,),
-        out_shape=jax.ShapeDtypeStruct((2, 2, rows, n), jnp.float32),
+        out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((4, block, n), lambda i: (0, i, 0), memory_space=vmem),
@@ -800,14 +829,13 @@ def _fourstep_row_call(t2, pre, pre_rho, omega_p, omega_rho, tabs,
             pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=vmem),
             tabspec, tabspec, tabspec, tabspec,
         ],
-        out_specs=pl.BlockSpec((2, 2, block, n), lambda i: (0, 0, i, 0),
-                               memory_space=vmem),
+        out_specs=out_spec,
         interpret=interpret,
         compiler_params=_VMEM_HINT,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 8 * block * n * (n1 + n2),
-            bytes_accessed=(10 * block * n + 4 * block * n) * 4,
-            transcendentals=4 * block * n,
+            flops=tb * 2 * 2 * 8 * block * n * (n1 + n2),
+            bytes_accessed=(10 * block * n + tb * 4 * block * n) * 4,
+            transcendentals=tb * 4 * block * n,
         ),
     )(t2, pre, pre_rho, omega_p, omega_rho, *tabs)
 
@@ -850,16 +878,28 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
     + row pass (grid over row bands), column pass (grid over column bands).
     Both passes emit true index order (header comment), so the (2, 2, N, N)
     row-pass planes are the only intermediate HBM traffic and nothing is
-    deferred."""
+    deferred.
+
+    ``t_arr`` is (1, tb); tb > 1 time-batches IN the row kernel (each row
+    band is fetched once and serves tb frames — the row kernel's docstring)
+    and the result grows a leading (tb,) frame axis. The column pass has no
+    time-invariant bulk inputs (its tables are KBs), so it simply runs per
+    frame."""
     n1, n2, block, cblock = _fourstep_plan(n, config)
     row_tabs, col_tabs = _fourstep_tables(n, n1, n2, config.compat.ref_sign)
     pre, pre_rho, omega_p, omega_rho = _fourstep_permute_inputs(
         h0_pair, omega, config, n, n1, n2)
+    tb = t_arr.shape[1]
     t2 = jnp.concatenate([t_arr, jnp.zeros((1, 1), jnp.float32)], axis=1)
     y = _fourstep_row_call(t2, pre, pre_rho, omega_p, omega_rho, row_tabs,
                            config, n, n1, n2, block, interpret)
-    return _fourstep_col_call(y, col_tabs, config, n, n1, n2, cblock,
-                              interpret)
+    if tb == 1:
+        return _fourstep_col_call(y, col_tabs, config, n, n1, n2, cblock,
+                                  interpret)
+    return jnp.stack([
+        _fourstep_col_call(y[j], col_tabs, config, n, n1, n2, cblock,
+                           interpret)
+        for j in range(tb)])
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
@@ -941,6 +981,36 @@ def pallas_planes(
         ),
     )(t_arr, h0_pair, h0n, omega, awr, awi)
     return planes
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def pallas_planes_batch(
+    h0_pair: jnp.ndarray,
+    omega: jnp.ndarray,
+    ts: jnp.ndarray,
+    config: OceanConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused step for ``tb`` frames at once: ts (tb,) -> (tb, 3, N, N).
+
+    On the four-step path (N >= 1024) the batch rides IN the row kernel
+    (``_fourstep_row_kernel``'s tb loop): each row band's 10 hoisted
+    propagate planes — the pipeline's dominant HBM traffic — are fetched
+    once and serve all tb frames, cutting per-frame row-pass input bytes
+    by tb x. Per-frame outputs are bit-identical to ``pallas_planes``
+    (identical dot shapes; frames are independent, SURVEY §5). For
+    N <= 512 (whole grid VMEM-resident — nothing to amortize) this is
+    the plain vmap over :func:`pallas_planes`."""
+    if h0_pair.ndim != 3:
+        raise ValueError(
+            "pallas planes/fields take a single unbatched state; vmap for cascades")
+    n = h0_pair.shape[-1]
+    tb = ts.shape[0]
+    if n > 512 and tb > 1:
+        t_arr = jnp.reshape(ts.astype(jnp.float32), (1, tb))
+        return _fourstep_fields(h0_pair, omega, t_arr, config, n, interpret)
+    return jax.vmap(
+        lambda tt: pallas_planes(h0_pair, omega, tt, config, interpret))(ts)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))

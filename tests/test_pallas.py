@@ -114,6 +114,51 @@ def test_pallas_fourstep_1024():
     assert np.abs(a - b).max() / np.abs(b).max() < 1e-6
 
 
+def test_pallas_fourstep_in_kernel_time_batch_bit_identical():
+    """Round 5: the four-step row kernel's in-kernel time batch (tb > 1 —
+    one band fetch serves tb frames) must be BIT-identical per frame to
+    the tb=1 kernel: the per-frame dots have identical shapes and frames
+    are independent (SURVEY §5)."""
+    from gfx_ocean_tpu.ops.pallas_step import pallas_planes, pallas_planes_batch
+
+    rng = np.random.default_rng(13)
+    n = 1024
+    h0 = jnp.asarray(rng.standard_normal((2, n, n)).astype(np.float32) * 0.01)
+    om = jnp.asarray((np.abs(rng.standard_normal((n, n))) + 0.1).astype(np.float32))
+    cfg = ot.OceanConfig(resolution=n, fft_impl="pallas",
+                         matmul_precision="highest", compute_normals=False)
+    ts = [1.5, 9.0]
+    batch = np.asarray(pallas_planes_batch(h0, om, jnp.asarray(ts, jnp.float32),
+                                           cfg, interpret=True))
+    assert batch.shape == (2, 3, n, n)
+    for j, t in enumerate(ts):
+        single = np.asarray(pallas_planes(h0, om, jnp.float32(t), cfg,
+                                          interpret=True))
+        np.testing.assert_array_equal(batch[j], single)
+
+
+def test_pallas_rollout_time_batch_matches_single(state128, monkeypatch):
+    """make_rollout(time_batch=2) on the pallas checksum path must agree
+    with time_batch=1 (the 128^2 grid takes the vmap fallback; the
+    four-step in-kernel batch is covered bit-exactly above)."""
+    import gfx_ocean_tpu.ops.pallas_step as ps
+
+    orig_planes, orig_batch = ps.pallas_planes, ps.pallas_planes_batch
+    monkeypatch.setattr(
+        ps, "pallas_planes",
+        lambda h0, om, t, cfg, interpret=False: orig_planes(h0, om, t, cfg, True))
+    monkeypatch.setattr(
+        ps, "pallas_planes_batch",
+        lambda h0, om, ts, cfg, interpret=False: orig_batch(h0, om, ts, cfg, True))
+    cfg = ot.OceanConfig(resolution=128, fft_impl="pallas",
+                         matmul_precision="highest", compute_normals=False)
+    ts = jnp.arange(4, dtype=jnp.float32) * 0.7 + 1.0
+    a = np.asarray(ot.make_rollout(cfg, keep_fields=False)(state128, ts))
+    b = np.asarray(ot.make_rollout(cfg, keep_fields=False,
+                                   time_batch=2)(state128, ts))
+    np.testing.assert_allclose(a, b, rtol=2e-6)
+
+
 def test_pallas_rejects_batched(state128):
     cfg = ot.OceanConfig(resolution=128, fft_impl="pallas")
     with pytest.raises(ValueError, match="unbatched"):

@@ -229,3 +229,26 @@ def test_pallas_fourstep_compat_flags_match_matmul():
     b = np.asarray(ot.make_step(cfg_m)(st, t).displacement)
     rel = np.abs(a - b).max() / np.abs(b).max()
     assert rel < 1e-5, rel
+
+
+def test_fourstep_plan_16384_guard():
+    """Round 5: the four-step plan accepts N in [1024, 16384]; the
+    unsharded 16384^2 entry warns (single-chip HBM capacity arithmetic
+    in docs/DESIGN.md round 5) while a packing-disabled config stays
+    silent, and out-of-range N still raises."""
+    import warnings
+
+    from gfx_ocean_tpu.ops.pallas_step import _fourstep_plan
+
+    cfg = ot.OceanConfig(resolution=16384, fft_impl="pallas")
+    with pytest.warns(UserWarning, match="row-sharded distributed"):
+        n1, n2, block, cblock = _fourstep_plan(16384, cfg)
+    assert (n1, n2) == (128, 128)
+    assert 16384 % block == 0 and 16384 % cblock == 0
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _fourstep_plan(8192, cfg)  # largest single-chip grid: no warning
+
+    with pytest.raises(ValueError, match=r"\[1024, 16384\]"):
+        _fourstep_plan(32768, cfg)

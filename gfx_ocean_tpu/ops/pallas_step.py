@@ -548,7 +548,8 @@ def _fourstep_row_kernel(
     w1cat_ref,      # (2*N1, 2*N1) — stacked complex stage-1 table
     w2cat_ref,      # (2*N2, 2*N2) — stacked complex stage-2 table
     ttr_ref, tti_ref,   # (N2, N1) twiddle T[k2, n1]
-    y_ref,          # VMEM out — (2, 2, B, N) f32, or (tb, 2, 2, B, N) tb>1
+    y_ref,          # VMEM out — (2, 2, B, N) f32; (1, 2, 2, B, N) when tb>1
+                    # (one frame's band — the frame is grid dim 1)
     *,
     n: int, n1: int, n2: int, block: int, tb: int,
     domain_size: float, wrap_k: bool, precision: str,
@@ -558,13 +559,32 @@ def _fourstep_row_kernel(
     ``tb`` (the in-kernel TIME BATCH, round 5) processes tb time values
     per band fetch: the 10 hoisted propagate planes — the row kernel's
     dominant HBM traffic (55% of peak at 4096^2, docs/BENCH.md roofline)
-    — and the in-kernel k-hat grids are read/computed ONCE and reused
-    for every t in the batch, cutting per-step input bytes by tb x.
+    — are fetched ONCE and reused for every t in the batch, cutting
+    per-step input bytes by tb x. The batch rides the GRID, not the
+    block: grid = (bands, tb) with the frame index minor, input index
+    maps ignoring it (Mosaic skips the copy when a block's index is
+    unchanged between consecutive grid steps), and each grid step
+    computing ONE frame into a tb=1-sized output block. The first form
+    tried — a tb-times-larger output block holding all frames — was a
+    measured LOSS (4096^2 tb=2: 158 vs 193 steps/s; the (tb, 2, 2, B, N)
+    block is 4-17 MB and kills VMEM double-buffering, docs/BENCH.md).
     Frames stay independent (the sim is stateless in time, SURVEY §5);
-    each t's dots have identical shapes to the tb=1 kernel, so per-frame
-    outputs are bit-identical to tb=1. The vmap form of time batching
-    (models.make_rollout) cannot do this: a vmapped pallas_call re-streams
-    every input plane per frame.
+    each frame's dots have identical shapes to the tb=1 kernel, so
+    per-frame outputs are bit-identical to tb=1. The vmap form of time
+    batching (models.make_rollout) cannot do this: a vmapped pallas_call
+    re-streams every input plane per frame.
+
+    MEASURED OUTCOME (tools/prof_tb_sweep.py, subprocess-isolated, two
+    repeats/config, device agreement exactly 0.0 everywhere): even in
+    the grid form, tb > 1 does NOT pay on hardware — 4096^2 tb=1 192.6
+    steps/s vs ~180 at tb in {2,4,8}; 2048^2 763.3 vs 758/702/656;
+    8192^2 neutral (45.0 / 45.2 / 45.3); 1024^2 noise-level (2080 vs
+    2141 at tb=4, inside the session band). Consistent with the
+    roofline verdict that no single counter binds at ~45-55% of each
+    roof: the input bytes saved were already overlapped with the dots,
+    so removing them removes no critical-path time. Default stays tb=1
+    on this path; the plumbing is kept (bit-identical per frame, and
+    the honest negative needs the instrument to stay runnable).
 
     Inputs arrive x-permuted (column c = k2*N1 + k1 holds true k =
     k1*N2 + k2, applied once to the time-invariant tables in
@@ -620,40 +640,41 @@ def _fourstep_row_kernel(
                 yv[n2:].reshape(n2, block, n1).transpose(
                     1, 0, 2).reshape(block, n))
 
-    for j in range(tb):
-        t = t_ref[0, j]
-        c, s = _sincos_phase(om_ref[:, :], t)
-        cq, sq = _sincos_phase(omq_ref[:, :], t)
-        sr = c * pre_ref[0] + s * pre_ref[1]       # S = evolved height spectrum
-        si = s * pre_ref[2] + c * pre_ref[3]
-        tr = cq * preq_ref[0] + sq * preq_ref[1]   # S o rho
-        ti = sq * preq_ref[2] + cq * preq_ref[3]
-        half = jnp.float32(0.5)
-        h_r = half * (sr + tr)
-        h_i = half * (si - ti)
-        dx_r = half * (khx * si + khxq * ti)
-        dx_i = half * (khxq * tr - khx * sr)
-        dz_r = half * (khy * si + khyq * ti)
-        dz_i = half * (khyq * tr - khy * sr)
-        z_r = dx_r - dz_i                          # Z = H_dx + i * H_dz
-        z_i = dx_i + dz_r
-        h0p, h1p = axis_pass(h_r, h_i)
-        z0p, z1p = axis_pass(z_r, z_i)
-        if tb == 1:
-            y_ref[0, 0], y_ref[0, 1] = h0p, h1p
-            y_ref[1, 0], y_ref[1, 1] = z0p, z1p
-        else:
-            y_ref[j, 0, 0], y_ref[j, 0, 1] = h0p, h1p
-            y_ref[j, 1, 0], y_ref[j, 1, 1] = z0p, z1p
+    t = t_ref[0, 0] if tb == 1 else t_ref[0, pl.program_id(1)]
+    c, s = _sincos_phase(om_ref[:, :], t)
+    cq, sq = _sincos_phase(omq_ref[:, :], t)
+    sr = c * pre_ref[0] + s * pre_ref[1]       # S = evolved height spectrum
+    si = s * pre_ref[2] + c * pre_ref[3]
+    tr = cq * preq_ref[0] + sq * preq_ref[1]   # S o rho
+    ti = sq * preq_ref[2] + cq * preq_ref[3]
+    half = jnp.float32(0.5)
+    h_r = half * (sr + tr)
+    h_i = half * (si - ti)
+    dx_r = half * (khx * si + khxq * ti)
+    dx_i = half * (khxq * tr - khx * sr)
+    dz_r = half * (khy * si + khyq * ti)
+    dz_i = half * (khyq * tr - khy * sr)
+    z_r = dx_r - dz_i                          # Z = H_dx + i * H_dz
+    z_i = dx_i + dz_r
+    h0p, h1p = axis_pass(h_r, h_i)
+    z0p, z1p = axis_pass(z_r, z_i)
+    if tb == 1:
+        y_ref[0, 0], y_ref[0, 1] = h0p, h1p
+        y_ref[1, 0], y_ref[1, 1] = z0p, z1p
+    else:
+        y_ref[0, 0, 0], y_ref[0, 0, 1] = h0p, h1p
+        y_ref[0, 1, 0], y_ref[0, 1, 1] = z0p, z1p
 
 
 def _fourstep_col_kernel(
     y_ref,          # VMEM (2, 2, N, C) f32 — row-pass planes, C true-x cols
+                    # ((1, 2, 2, N, C) when time-batched: frame = grid dim 0)
     w1cat_ref,      # (2*N1, 2*N1) — stacked stage-1 (y-half fold + Q2 flip)
     w2cat_ref,      # (2*N2, 2*N2) — stacked stage-2
     w2top_ref,      # (N2, 2*N2) — stage-2 real-output rows (height)
     ttr_ref, tti_ref,   # (N1, N2)
     out_ref,        # VMEM (3, N, C) f32 — (disp_x, height, disp_z)
+                    # ((1, 3, N, C) when time-batched)
     *,
     n: int, n1: int, n2: int, precision: str,
 ):
@@ -670,6 +691,7 @@ def _fourstep_col_kernel(
     w2top = w2top_ref[:, :]
     ttr, tti = ttr_ref[:, :][:, :, None], tti_ref[:, :][:, :, None]
     cb = y_ref.shape[-1]
+    batched = y_ref.ndim == 5   # time-batched: (1, ...) frame-sliced blocks
 
     def stages(x_cat):
         # rows m = N2*m1 + m2: m1 is the outer dim — natural (m1, m2*C)
@@ -684,14 +706,20 @@ def _fourstep_col_kernel(
         bi = bi.transpose(1, 0, 2).reshape(n2, n1 * cb)
         return jnp.concatenate([br, bi], axis=0)
 
+    y_h = y_ref[0, 0] if batched else y_ref[0]
+    y_z = y_ref[0, 1] if batched else y_ref[1]
     # height: real output only (correction keeps Re — the top block rows)
-    b_cat = stages(y_ref[0].reshape(2 * n1, n2 * cb))
-    out_ref[1] = dot(w2top, b_cat, _DIMS_NN).reshape(n, cb)
+    b_cat = stages(y_h.reshape(2 * n1, n2 * cb))
+    h_out = dot(w2top, b_cat, _DIMS_NN).reshape(n, cb)
     # packed choppy pair: Re -> disp_x, Im -> disp_z
-    b_cat = stages(y_ref[1].reshape(2 * n1, n2 * cb))
+    b_cat = stages(y_z.reshape(2 * n1, n2 * cb))
     zv = dot(w2cat, b_cat, _DIMS_NN)
-    out_ref[0] = zv[:n2].reshape(n, cb)
-    out_ref[2] = zv[n2:].reshape(n, cb)
+    x_out = zv[:n2].reshape(n, cb)
+    z_out = zv[n2:].reshape(n, cb)
+    if batched:
+        out_ref[0, 0], out_ref[0, 1], out_ref[0, 2] = x_out, h_out, z_out
+    else:
+        out_ref[0], out_ref[1], out_ref[2] = x_out, h_out, z_out
 
 
 def _fourstep_bands(n: int):
@@ -800,7 +828,14 @@ def _fourstep_row_call(t2, pre, pre_rho, omega_p, omega_rho, tabs,
     """Row-pass pallas_call over the (possibly shard-local) rows of
     ``pre``; ``t2`` is the (1, tb + 1) [t_0..t_{tb-1}, global row base]
     SMEM scalar row. With tb > 1 the kernel time-batches (one band fetch
-    serves tb frames) and the result grows a leading (tb,) axis."""
+    serves tb frames) and the result grows a leading (tb,) axis.
+
+    tb rides the GRID: grid = (bands, tb), frame index minor. The input
+    specs' index maps ignore the frame index, so Mosaic keeps each band's
+    fetched blocks resident across the tb consecutive frame steps (the
+    copy is skipped when the block index repeats), while the output block
+    stays at the tb=1 size — the tb-wide output BLOCK form was a measured
+    VMEM-pressure loss (kernel docstring)."""
     rows = pre.shape[-2]
     tb = t2.shape[1] - 1
     vmem = pltpu.VMEM
@@ -810,23 +845,30 @@ def _fourstep_row_call(t2, pre, pre_rho, omega_p, omega_rho, tabs,
         precision=config.matmul_precision)
     tabspec = pl.BlockSpec(memory_space=vmem)
     if tb == 1:
+        grid = (rows // block,)
         out_shape = jax.ShapeDtypeStruct((2, 2, rows, n), jnp.float32)
         out_spec = pl.BlockSpec((2, 2, block, n), lambda i: (0, 0, i, 0),
                                 memory_space=vmem)
+        band_idx4 = lambda i: (0, i, 0)  # noqa: E731
+        band_idx2 = lambda i: (i, 0)     # noqa: E731
     else:
+        grid = (rows // block, tb)
         out_shape = jax.ShapeDtypeStruct((tb, 2, 2, rows, n), jnp.float32)
-        out_spec = pl.BlockSpec((tb, 2, 2, block, n),
-                                lambda i: (0, 0, 0, i, 0), memory_space=vmem)
+        out_spec = pl.BlockSpec((1, 2, 2, block, n),
+                                lambda i, j: (j, 0, 0, i, 0),
+                                memory_space=vmem)
+        band_idx4 = lambda i, j: (0, i, 0)  # noqa: E731
+        band_idx2 = lambda i, j: (i, 0)     # noqa: E731
     return pl.pallas_call(
         row_kernel,
-        grid=(rows // block,),
+        grid=grid,
         out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, block, n), lambda i: (0, i, 0), memory_space=vmem),
-            pl.BlockSpec((4, block, n), lambda i: (0, i, 0), memory_space=vmem),
-            pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=vmem),
-            pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=vmem),
+            pl.BlockSpec((4, block, n), band_idx4, memory_space=vmem),
+            pl.BlockSpec((4, block, n), band_idx4, memory_space=vmem),
+            pl.BlockSpec((block, n), band_idx2, memory_space=vmem),
+            pl.BlockSpec((block, n), band_idx2, memory_space=vmem),
             tabspec, tabspec, tabspec, tabspec,
         ],
         out_specs=out_spec,
@@ -844,29 +886,46 @@ def _fourstep_col_call(y, tabs, config: OceanConfig, n: int, n1: int,
                        n2: int, cblock: int, interpret: bool) -> jnp.ndarray:
     """Column-pass pallas_call over the (possibly shard-local) columns of
     ``y``. The column kernel has no column-position dependence (its tables
-    are per-ROW), so any contiguous column band computes locally."""
+    are per-ROW), so any contiguous column band computes locally.
+
+    A time-batched ``y`` ((tb, 2, 2, N, C)) runs as ONE call with the
+    frame on grid dim 0, writing (tb, 3, N, C) directly — per-frame col
+    calls + ``jnp.stack`` would materialize tb extra (3, N, N) copies
+    (pallas outputs cannot be fusion-written into a concat buffer), ~2
+    ms/frame of pure HBM copy at 8192^2."""
     cols = y.shape[-1]
     vmem = pltpu.VMEM
     col_kernel = functools.partial(
         _fourstep_col_kernel, n=n, n1=n1, n2=n2,
         precision=config.matmul_precision)
     tabspec = pl.BlockSpec(memory_space=vmem)
+    tb = y.shape[0] if y.ndim == 5 else 1
+    if y.ndim == 4:
+        grid = (cols // cblock,)
+        out_shape = jax.ShapeDtypeStruct((3, n, cols), jnp.float32)
+        in_spec = pl.BlockSpec((2, 2, n, cblock), lambda j: (0, 0, 0, j),
+                               memory_space=vmem)
+        out_spec = pl.BlockSpec((3, n, cblock), lambda j: (0, 0, j),
+                                memory_space=vmem)
+    else:
+        grid = (tb, cols // cblock)
+        out_shape = jax.ShapeDtypeStruct((tb, 3, n, cols), jnp.float32)
+        in_spec = pl.BlockSpec((1, 2, 2, n, cblock),
+                               lambda f, j: (f, 0, 0, 0, j),
+                               memory_space=vmem)
+        out_spec = pl.BlockSpec((1, 3, n, cblock), lambda f, j: (f, 0, 0, j),
+                                memory_space=vmem)
     return pl.pallas_call(
         col_kernel,
-        grid=(cols // cblock,),
-        out_shape=jax.ShapeDtypeStruct((3, n, cols), jnp.float32),
-        in_specs=[
-            pl.BlockSpec((2, 2, n, cblock), lambda j: (0, 0, 0, j),
-                         memory_space=vmem),
-            tabspec, tabspec, tabspec, tabspec, tabspec,
-        ],
-        out_specs=pl.BlockSpec((3, n, cblock), lambda j: (0, 0, j),
-                               memory_space=vmem),
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=[in_spec, tabspec, tabspec, tabspec, tabspec, tabspec],
+        out_specs=out_spec,
         interpret=interpret,
         compiler_params=_VMEM_HINT,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 3 * 4 * cblock * n * (n1 + n2),
-            bytes_accessed=(4 * n * cblock + 3 * n * cblock) * 4,
+            flops=tb * 2 * 3 * 4 * cblock * n * (n1 + n2),
+            bytes_accessed=tb * (4 * n * cblock + 3 * n * cblock) * 4,
             transcendentals=0,
         ),
     )(y, *tabs)
@@ -883,8 +942,9 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
     ``t_arr`` is (1, tb); tb > 1 time-batches IN the row kernel (each row
     band is fetched once and serves tb frames — the row kernel's docstring)
     and the result grows a leading (tb,) frame axis. The column pass has no
-    time-invariant bulk inputs (its tables are KBs), so it simply runs per
-    frame."""
+    time-invariant bulk inputs (its tables are KBs); it carries the frame
+    on its grid so all tb frames land in one (tb, 3, N, N) output with no
+    stack copies (the col call's docstring)."""
     n1, n2, block, cblock = _fourstep_plan(n, config)
     row_tabs, col_tabs = _fourstep_tables(n, n1, n2, config.compat.ref_sign)
     pre, pre_rho, omega_p, omega_rho = _fourstep_permute_inputs(
@@ -893,13 +953,10 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
     t2 = jnp.concatenate([t_arr, jnp.zeros((1, 1), jnp.float32)], axis=1)
     y = _fourstep_row_call(t2, pre, pre_rho, omega_p, omega_rho, row_tabs,
                            config, n, n1, n2, block, interpret)
-    if tb == 1:
-        return _fourstep_col_call(y, col_tabs, config, n, n1, n2, cblock,
-                                  interpret)
-    return jnp.stack([
-        _fourstep_col_call(y[j], col_tabs, config, n, n1, n2, cblock,
-                           interpret)
-        for j in range(tb)])
+    # tb > 1: y is (tb, 2, 2, N, N) and the col call batches the frame on
+    # its grid, writing (tb, 3, N, N) directly (no stack copies).
+    return _fourstep_col_call(y, col_tabs, config, n, n1, n2, cblock,
+                              interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))

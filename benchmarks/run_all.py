@@ -252,11 +252,14 @@ def main() -> None:
         "steps_per_sec": round(sps, 1),
         "rel_linf_vs_golden": accuracy(cfg6h, st512),
     }
+    # N > 512 routes through the four-step pipeline unconditionally
+    # (pallas_planes), so this measures the 1024^2 four-step at 'high'
+    # (key was "1024_blocked" through BENCH_r04 — a stale round-3 name;
+    # hermitian_pack is ignored on this path, which always packs).
     cfg6k = ot.OceanConfig(resolution=1024, fft_impl="pallas",
-                           matmul_precision="high", hermitian_pack=False)
-    sps = _throughput(ot.make_rollout(cfg6k, keep_fields=False, time_batch=2),
-                      st1024, ts3)
-    pallas["1024_blocked"] = {
+                           matmul_precision="high")
+    sps = _throughput(ot.make_rollout(cfg6k, keep_fields=False), st1024, ts3)
+    pallas["1024_fourstep"] = {
         "steps_per_sec": round(sps, 1),
         "rel_linf_vs_golden": accuracy(cfg6k, st1024),
     }

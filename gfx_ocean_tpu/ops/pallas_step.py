@@ -614,7 +614,7 @@ def _fourstep_row_kernel(
     w2cat = w2cat_ref[:, :]
     ttr, tti = ttr_ref[:, :], tti_ref[:, :]
 
-    def axis_pass(xr, xi):
+    def stage12(xr, xi):
         # permuted (B, N) -> (B*k2, k1): pure view, no relayout
         xr = xr.reshape(block * n2, n1)
         xi = xi.reshape(block * n2, n1)
@@ -628,11 +628,12 @@ def _fourstep_row_kernel(
         ai = a[:, n1:].reshape(block, n2, n1)
         br = ar * ttr - ai * tti
         bi = ar * tti + ai * ttr
-        # stage 2: [Y_r; Y_i] = W2cat @ [B_r; B_i] over k2 ((B, k2, n1)
-        # -> (k2, B*n1) is sublane-only; lanes untouched)
-        br = br.transpose(1, 0, 2).reshape(n2, block * n1)
-        bi = bi.transpose(1, 0, 2).reshape(n2, block * n1)
-        yv = dot(w2cat, jnp.concatenate([br, bi], axis=0), _DIMS_NN)
+        # ready for stage 2: (B, k2, n1) -> (k2, B*n1) is sublane-only;
+        # lanes untouched
+        return (br.transpose(1, 0, 2).reshape(n2, block * n1),
+                bi.transpose(1, 0, 2).reshape(n2, block * n1))
+
+    def unflatten(yv):
         # (n2, B, n1) -> (B, n2, n1): sublane-only; flat = n2*N1 + n1 =
         # the TRUE x index — no deferred unblocking needed
         return (yv[:n2].reshape(n2, block, n1).transpose(
@@ -656,8 +657,22 @@ def _fourstep_row_kernel(
     dz_i = half * (khyq * tr - khy * sr)
     z_r = dx_r - dz_i                          # Z = H_dx + i * H_dz
     z_i = dx_i + dz_r
-    h0p, h1p = axis_pass(h_r, h_i)
-    z0p, z1p = axis_pass(z_r, z_i)
+    bh_r, bh_i = stage12(h_r, h_i)
+    bz_r, bz_i = stage12(z_r, z_i)
+    if w2cat.shape[0] == 4 * n2:
+        # stage 2, both field pairs in ONE dot against diag(W2cat,
+        # W2cat) — one MXU pass instead of two (_fourstep_tables
+        # docstring; measured exact vs the two-dot form)
+        yv = dot(w2cat, jnp.concatenate([bh_r, bh_i, bz_r, bz_i], axis=0),
+                 _DIMS_NN)
+        h0p, h1p = unflatten(yv[:2 * n2])
+        z0p, z1p = unflatten(yv[2 * n2:])
+    else:
+        # stage 2: [Y_r; Y_i] = W2cat @ [B_r; B_i] over k2
+        h0p, h1p = unflatten(
+            dot(w2cat, jnp.concatenate([bh_r, bh_i], axis=0), _DIMS_NN))
+        z0p, z1p = unflatten(
+            dot(w2cat, jnp.concatenate([bz_r, bz_i], axis=0), _DIMS_NN))
     if tb == 1:
         y_ref[0, 0], y_ref[0, 1] = h0p, h1p
         y_ref[1, 0], y_ref[1, 1] = z0p, z1p
@@ -702,20 +717,31 @@ def _fourstep_col_kernel(
         br = ar * ttr - ai * tti
         bi = ar * tti + ai * ttr
         # (n1, m2, C) -> (m2, n1*C): sublane-only relayout, then W2 @ .
-        br = br.transpose(1, 0, 2).reshape(n2, n1 * cb)
-        bi = bi.transpose(1, 0, 2).reshape(n2, n1 * cb)
-        return jnp.concatenate([br, bi], axis=0)
+        return (br.transpose(1, 0, 2).reshape(n2, n1 * cb),
+                bi.transpose(1, 0, 2).reshape(n2, n1 * cb))
 
     y_h = y_ref[0, 0] if batched else y_ref[0]
     y_z = y_ref[0, 1] if batched else y_ref[1]
-    # height: real output only (correction keeps Re — the top block rows)
-    b_cat = stages(y_h.reshape(2 * n1, n2 * cb))
-    h_out = dot(w2top, b_cat, _DIMS_NN).reshape(n, cb)
-    # packed choppy pair: Re -> disp_x, Im -> disp_z
-    b_cat = stages(y_z.reshape(2 * n1, n2 * cb))
-    zv = dot(w2cat, b_cat, _DIMS_NN)
-    x_out = zv[:n2].reshape(n, cb)
-    z_out = zv[n2:].reshape(n, cb)
+    bh_r, bh_i = stages(y_h.reshape(2 * n1, n2 * cb))
+    bz_r, bz_i = stages(y_z.reshape(2 * n1, n2 * cb))
+    if w2cat.shape[0] == 3 * n2:
+        # stage 2, height (real-out) + choppy pair in ONE dot against
+        # diag(W2top, W2cat) — one MXU pass instead of two, and every
+        # output slice is already in true row order (k2 major); see
+        # _fourstep_tables for the measured-equality record
+        ov = dot(w2cat, jnp.concatenate([bh_r, bh_i, bz_r, bz_i], axis=0),
+                 _DIMS_NN)
+        h_out = ov[:n2].reshape(n, cb)
+        x_out = ov[n2:2 * n2].reshape(n, cb)
+        z_out = ov[2 * n2:].reshape(n, cb)
+    else:
+        # height: real output only (correction keeps Re — the top rows)
+        h_out = dot(w2top, jnp.concatenate([bh_r, bh_i], axis=0),
+                    _DIMS_NN).reshape(n, cb)
+        # packed choppy pair: Re -> disp_x, Im -> disp_z
+        zv = dot(w2cat, jnp.concatenate([bz_r, bz_i], axis=0), _DIMS_NN)
+        x_out = zv[:n2].reshape(n, cb)
+        z_out = zv[n2:].reshape(n, cb)
     if batched:
         out_ref[0, 0], out_ref[0, 1], out_ref[0, 2] = x_out, h_out, z_out
     else:
@@ -779,18 +805,46 @@ def _cat_complex_np(wr, wi):
 def _fourstep_tables(n: int, n1: int, n2: int, negate: bool):
     """The row-pass + col-pass stacked DFT/twiddle tables (device consts).
 
-    Row: (W1cat (2n1, 2n1), W2cat (2n2, 2n2), Ttr, Tti (n2, n1));
-    col: (W1cat, W2cat, W2top (n2, 2n2) — the real-output rows for the
-    height field, Ttr, Tti (n1, n2))."""
+    Row: (W1cat (2n1, 2n1), W2 stage-2 table, Ttr, Tti (n2, n1));
+    col: (W1cat, W2 stage-2 table, W2top (n2, 2n2) — the real-output
+    rows for the height field, Ttr, Tti (n1, n2)).
+
+    When 4*n2 <= 128 (N <= 4096) the stage-2 table is BLOCK-DIAGONAL
+    over the kernel's two per-field operands, fusing its two stage-2
+    dots into ONE MXU pass: row diag(W2cat, W2cat) (4n2, 4n2) carries
+    the height pair and the packed-choppy pair together; col
+    diag(W2top, W2cat) (3n2, 4n2) carries the height (real-out) and
+    choppy stage-2s together. The roofline audit (docs/BENCH.md round
+    5) pinned the column kernel as MXU-SHAPE bound: a (2n2, 2n2)
+    weight fills (2n2/128)^2 of the systolic array, and MXU time is
+    passes x free-dim CYCLES regardless of fill — halving the pass
+    count halves stage-2 time outright. The zero off-diagonal blocks
+    contribute exact +0.0 per accumulation term, so a SEQUENTIAL
+    contraction (the MXU's systolic accumulate) is value-identical to
+    the two-dot form; backends with reduction TREES may re-pair the
+    real terms around the padding — measured: CPU interpret is exactly
+    0.0 vs the two-dot form at n2 in {16, 32} for all fields and for
+    the row kernel at every n2, with a 1-ulp height drift at n2 = 8
+    only (tests/test_pallas.py pins both). Past 4n2 = 128 (8192^2+)
+    the diagonal no longer fits one weight tile — (192, 256) tiles as
+    4 passes where the split form takes 2 — so the tables stay
+    separate and the kernels branch on the table SHAPE."""
     w1_row = _cat_complex_np(*_dft_matrix_out_alt_np(n1, 1, 0, False))
     w1_col = _cat_complex_np(*_dft_matrix_out_alt_np(n1, 1, 0, negate))
     w2r, w2i = _dft_matrix_np(n2, 1)
     w2cat = _cat_complex_np(w2r, w2i)
     w2top = w2cat[:n2]
+    if 4 * n2 <= 128:
+        z22 = np.zeros((2 * n2, 2 * n2), w2cat.dtype)
+        w2_row = np.block([[w2cat, z22], [z22, w2cat]])
+        w2_col = np.block([[w2top, np.zeros((n2, 2 * n2), w2cat.dtype)],
+                           [z22, w2cat]])
+    else:
+        w2_row, w2_col = w2cat, w2cat
     ttr_row, tti_row = (jnp.asarray(a) for a in _twiddle_np(n2, n1, 1))
     ttr, tti = (jnp.asarray(a) for a in _twiddle_np(n1, n2, 1))
-    return ((jnp.asarray(w1_row), jnp.asarray(w2cat), ttr_row, tti_row),
-            (jnp.asarray(w1_col), jnp.asarray(w2cat), jnp.asarray(w2top),
+    return ((jnp.asarray(w1_row), jnp.asarray(w2_row), ttr_row, tti_row),
+            (jnp.asarray(w1_col), jnp.asarray(w2_col), jnp.asarray(w2top),
              ttr, tti))
 
 

@@ -137,6 +137,55 @@ def test_pallas_fourstep_in_kernel_time_batch_bit_identical():
         np.testing.assert_array_equal(batch[j], single)
 
 
+def test_pallas_fourstep_fused_stage2_matches_split():
+    """Round 5: at 4*n2 <= 128 the four-step kernels run their two
+    stage-2 dots as ONE block-diagonal MXU pass (_fourstep_tables).
+    Pin the measured-equality record: vs the split two-dot form, the
+    row pass is exactly equal at every n2 and the col pass exactly
+    equal at n2 = 16 (2048^2); n2 = 8 (1024^2) shows a 1-ulp height
+    drift from backend reduction-tree re-pairing around the zero pad —
+    bound it tightly so a real regression cannot hide under it."""
+    from gfx_ocean_tpu.ops.pallas_step import (
+        _cat_complex_np, _dft_matrix_np, _fourstep_col_call,
+        _fourstep_permute_inputs, _fourstep_plan, _fourstep_row_call,
+        _fourstep_tables)
+
+    rng = np.random.default_rng(29)
+    for n, col_exact in ((2048, True), (1024, False)):
+        h0 = jnp.asarray(
+            rng.standard_normal((2, n, n)).astype(np.float32) * 0.01)
+        om = jnp.asarray(
+            (np.abs(rng.standard_normal((n, n))) + 0.1).astype(np.float32))
+        cfg = ot.OceanConfig(resolution=n, fft_impl="pallas",
+                             matmul_precision="high", compute_normals=False)
+        n1, n2, block, cblock = _fourstep_plan(n, cfg)
+        row_f, col_f = _fourstep_tables(n, n1, n2, cfg.compat.ref_sign)
+        assert row_f[1].shape == (4 * n2, 4 * n2)
+        assert col_f[1].shape == (3 * n2, 4 * n2)
+        w2cat = jnp.asarray(_cat_complex_np(*_dft_matrix_np(n2, 1)))
+        row_u = (row_f[0], w2cat, row_f[2], row_f[3])
+        col_u = (col_f[0], w2cat, col_f[2], col_f[3], col_f[4])
+        pre, prq, omp, omq = _fourstep_permute_inputs(h0, om, cfg, n, n1, n2)
+        t2 = jnp.asarray([[7.25, 0.0]], jnp.float32)
+        y_f = _fourstep_row_call(t2, pre, prq, omp, omq, row_f, cfg,
+                                 n, n1, n2, block, True)
+        y_u = _fourstep_row_call(t2, pre, prq, omp, omq, row_u, cfg,
+                                 n, n1, n2, block, True)
+        np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_u))
+        o_f = np.asarray(_fourstep_col_call(y_f, col_f, cfg, n, n1, n2,
+                                            cblock, True))
+        o_u = np.asarray(_fourstep_col_call(y_u, col_u, cfg, n, n1, n2,
+                                            cblock, True))
+        np.testing.assert_array_equal(o_f[0], o_u[0])   # disp_x exact
+        np.testing.assert_array_equal(o_f[2], o_u[2])   # disp_z exact
+        if col_exact:
+            np.testing.assert_array_equal(o_f[1], o_u[1])
+        else:
+            drift = np.abs(o_f[1] - o_u[1]).max()
+            assert drift < 4 * np.finfo(np.float32).eps * np.abs(
+                o_u[1]).max(), drift
+
+
 def test_pallas_rollout_time_batch_matches_single(state128, monkeypatch):
     """make_rollout(time_batch=2) on the pallas checksum path must agree
     with time_batch=1 (the 128^2 grid takes the vmap fallback; the

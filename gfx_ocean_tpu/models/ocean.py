@@ -25,7 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from gfx_ocean_tpu.config import OceanConfig, PhillipsConfig
-from gfx_ocean_tpu.ops.derived import finite_difference_normals, jacobian_foam
+from gfx_ocean_tpu.ops.derived import (finite_difference_normals,
+                                       finite_difference_normals_planes,
+                                       jacobian_foam)
 from gfx_ocean_tpu.ops.fft import ifft2_planes_unnorm, ifft2_real_unnorm
 from gfx_ocean_tpu.ops.propagate import (
     precompute_propagate,
@@ -237,7 +239,10 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
             planes = pallas_planes(state.h0, state.omega, t, config)
             out = jnp.sum(planes, dtype=jnp.float32)
             if config.compute_normals:
-                normals = finite_difference_normals(
+                # Plane-major normals: the sum consumer never needs the
+                # channel-last view, and its stack(axis=-1) is a full
+                # 3-plane interleave (~1 ms/step at 4096^2).
+                normals = finite_difference_normals_planes(
                     planes[1], config.normal_height_scale)
                 out = out + jnp.sum(normals, dtype=jnp.float32)
             return out
@@ -263,8 +268,8 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
         planes = pallas_planes_batch(state.h0, state.omega, ts, config)
         out = jnp.sum(planes, axis=(1, 2, 3), dtype=jnp.float32)
         if config.compute_normals:
-            normals = jax.vmap(lambda p: finite_difference_normals(
-                p, config.normal_height_scale))(planes[:, 1])
+            normals = finite_difference_normals_planes(
+                planes[:, 1], config.normal_height_scale)
             out = out + jnp.sum(normals, axis=(1, 2, 3), dtype=jnp.float32)
         return out
 

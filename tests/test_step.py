@@ -65,6 +65,27 @@ def test_normals_match_golden(reference_state):
     assert np.asarray(got.normals)[..., 1].mean() > 0.5
 
 
+def test_normals_planes_layout_matches_channel_last(reference_state):
+    """The plane-major normals (the checksum rollout's native layout —
+    round 5) must be exactly the moveaxis of the public channel-last
+    form, including with a leading batch axis."""
+    from gfx_ocean_tpu.ops.derived import (
+        finite_difference_normals, finite_difference_normals_planes)
+
+    cfg = OceanConfig(resolution=128)
+    st = _state(reference_state, 128)
+    h = make_step(cfg)(st, jnp.float32(7.0)).displacement[..., 1]
+    a = np.asarray(finite_difference_normals(h, cfg.normal_height_scale))
+    b = np.asarray(finite_difference_normals_planes(
+        h, cfg.normal_height_scale))
+    np.testing.assert_array_equal(np.moveaxis(b, -3, -1), a)
+    hb = jnp.stack([h, h * 1.25])
+    bb = np.asarray(finite_difference_normals_planes(
+        hb, cfg.normal_height_scale))
+    assert bb.shape == (2, 3, 128, 128)
+    np.testing.assert_array_equal(bb[0], b)
+
+
 def test_rollout_scan_matches_individual_steps(reference_state):
     cfg = OceanConfig(resolution=64, compute_normals=False)
     st = _state(reference_state, 64)

@@ -546,7 +546,8 @@ def _fourstep_row_kernel(
     om_ref,         # VMEM (B, N) f32 — x-PERMUTED
     omq_ref,        # VMEM (B, N) f32 — rho-gathered omega, x-PERMUTED
     w1cat_ref,      # (2*N1, 2*N1) — stacked complex stage-1 table
-    w2cat_ref,      # (2*N2, 2*N2) — stacked complex stage-2 table
+    w2cat_ref,      # stage-2: diag-fused (4*N2, 4*N2) when 4*N2 <= 128,
+                    # else stacked (2*N2, 2*N2) (_fourstep_tables)
     ttr_ref, tti_ref,   # (N2, N1) twiddle T[k2, n1]
     y_ref,          # VMEM out — (2, 2, B, N) f32; (1, 2, 2, B, N) when tb>1
                     # (one frame's band — the frame is grid dim 1)
@@ -685,8 +686,10 @@ def _fourstep_col_kernel(
     y_ref,          # VMEM (2, 2, N, C) f32 — row-pass planes, C true-x cols
                     # ((1, 2, 2, N, C) when time-batched: frame = grid dim 0)
     w1cat_ref,      # (2*N1, 2*N1) — stacked stage-1 (y-half fold + Q2 flip)
-    w2cat_ref,      # (2*N2, 2*N2) — stacked stage-2
-    w2top_ref,      # (N2, 2*N2) — stage-2 real-output rows (height)
+    w2cat_ref,      # stage-2: diag-fused (3*N2, 4*N2) when 4*N2 <= 128,
+                    # else stacked (2*N2, 2*N2) (_fourstep_tables)
+    w2top_ref,      # (N2, 2*N2) — stage-2 real-output rows (height;
+                    # unused when the fused table carries them)
     ttr_ref, tti_ref,   # (N1, N2)
     out_ref,        # VMEM (3, N, C) f32 — (disp_x, height, disp_z)
                     # ((1, 3, N, C) when time-batched)

@@ -240,8 +240,9 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
             out = jnp.sum(planes, dtype=jnp.float32)
             if config.compute_normals:
                 # Plane-major normals: the sum consumer never needs the
-                # channel-last view, and its stack(axis=-1) is a full
-                # 3-plane interleave (~1 ms/step at 4096^2).
+                # channel-last view (measured neutral — XLA already
+                # avoided materializing the stack under a reduce; see
+                # finite_difference_normals_planes).
                 normals = finite_difference_normals_planes(
                     planes[1], config.normal_height_scale)
                 out = out + jnp.sum(normals, dtype=jnp.float32)

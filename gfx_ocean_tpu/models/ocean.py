@@ -26,7 +26,6 @@ import numpy as np
 
 from gfx_ocean_tpu.config import OceanConfig, PhillipsConfig
 from gfx_ocean_tpu.ops.derived import (finite_difference_normals,
-                                       finite_difference_normals_planes,
                                        jacobian_foam)
 from gfx_ocean_tpu.ops.fft import ifft2_planes_unnorm, ifft2_real_unnorm
 from gfx_ocean_tpu.ops.propagate import (
@@ -234,19 +233,15 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
 
     def one(state, t, pre=None):
         if planes_checksum and state.h0.ndim == 3:
-            from gfx_ocean_tpu.ops.pallas_step import pallas_planes  # noqa: PLC0415
+            # In-kernel forcing reduction (round 5): the kernels emit
+            # sum(planes) [+ sum(normals)] from their final pass instead
+            # of XLA re-reading ~5 field planes from HBM (~12% of the
+            # step at 4096^2). Fields are still fully materialized —
+            # ops/pallas_step.pallas_checksums docstring.
+            from gfx_ocean_tpu.ops.pallas_step import pallas_checksums  # noqa: PLC0415
 
-            planes = pallas_planes(state.h0, state.omega, t, config)
-            out = jnp.sum(planes, dtype=jnp.float32)
-            if config.compute_normals:
-                # Plane-major normals: the sum consumer never needs the
-                # channel-last view (measured neutral — XLA already
-                # avoided materializing the stack under a reduce; see
-                # finite_difference_normals_planes).
-                normals = finite_difference_normals_planes(
-                    planes[1], config.normal_height_scale)
-                out = out + jnp.sum(normals, dtype=jnp.float32)
-            return out
+            return pallas_checksums(
+                state.h0, state.omega, jnp.reshape(t, (1,)), config)[0]
         fields = step(state, t, config, pre=pre)
         if keep_fields:
             return fields
@@ -262,17 +257,12 @@ def make_rollout(config: OceanConfig, keep_fields: bool = True, time_batch: int 
         # In-kernel time batch (round 5): on the four-step path the tb
         # frames share one fetch of the row kernel's 10 hoisted propagate
         # planes (its dominant HBM traffic); vmap-of-pallas_call would
-        # re-stream them per frame. Per-frame results are bit-identical
-        # to the tb=1 kernel (ops/pallas_step.pallas_planes_batch).
-        from gfx_ocean_tpu.ops.pallas_step import pallas_planes_batch  # noqa: PLC0415
+        # re-stream them per frame. Per-frame planes are bit-identical
+        # to the tb=1 kernel (ops/pallas_step.pallas_planes_batch), and
+        # the forcing reduction rides the kernels (see ``one``).
+        from gfx_ocean_tpu.ops.pallas_step import pallas_checksums  # noqa: PLC0415
 
-        planes = pallas_planes_batch(state.h0, state.omega, ts, config)
-        out = jnp.sum(planes, axis=(1, 2, 3), dtype=jnp.float32)
-        if config.compute_normals:
-            normals = finite_difference_normals_planes(
-                planes[:, 1], config.normal_height_scale)
-            out = out + jnp.sum(normals, axis=(1, 2, 3), dtype=jnp.float32)
-        return out
+        return pallas_checksums(state.h0, state.omega, ts, config)
 
     def body(carry, t):
         state, pre = carry

@@ -328,6 +328,27 @@ def _blocked_fields(h0_pair, omega, t_arr, h0n, awr, awi, config: OceanConfig,
     return planes
 
 
+def _normals_checksum_terms(x0, x1, z0, z1, n: int, scale: float):
+    """Per-texel sum of normal components, for the in-kernel forcing sum.
+
+    Same per-texel math as ``ops.derived.finite_difference_normals_planes``
+    with the square-grid diff_x = diff_y = 2/N (shader/ocean.frag:50-67):
+    the external checksum sums the three component planes, so the per-texel
+    contribution is (cx + cy + cz) / |c|. Only the f32 accumulation ORDER
+    differs from the XLA reduce — the checksum is a forcing device, not a
+    field, and every cross-variant comparison (tb, sharded) allows for
+    reassociation."""
+    diff = jnp.float32(2.0 / n)
+    hs = jnp.float32(scale)
+    gx = (x1 - x0) / hs
+    gz = (z1 - z0) / hs
+    cx = gx * diff
+    cz = -diff * gz
+    cy = diff * diff
+    length = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+    return (cx + cy + cz) / length
+
+
 def _packed_grid_kernel(
     t_ref,        # SMEM (1, 1) f32 — absolute time
     pre_ref,      # VMEM (4, B, N) f32 — P1..P4 row band
@@ -337,8 +358,7 @@ def _packed_grid_kernel(
     ar_ref,       # VMEM (N, N) f32 — Re(D_alt @ W), shared by both passes
     ai_ref,       # VMEM (N, N) f32
     out_ref,      # VMEM (3, N, N) f32 — (disp_x, height, disp_z), centered
-    y_ref,        # VMEM scratch (2, 2, N, N) f32 — row-pass planes
-    *,
+    *rest,        # [sum_ref (1, 128) f32 when checksum,] y_ref scratch
     n: int,
     block: int,
     col_chunk: int,
@@ -346,6 +366,8 @@ def _packed_grid_kernel(
     wrap_k: bool,
     ref_sign: bool,
     precision: str,
+    checksum: bool = False,
+    normals_scale: float | None = None,
 ):
     """Hermitian-packed fused step: 14 MXU dot-stages instead of 18.
 
@@ -366,7 +388,19 @@ def _packed_grid_kernel(
     negation: the evolved spectrum is not Hermitian, so symmetrization
     cannot be skipped. Q2's global flip (ref_sign) folds into the 1/2 of
     the symmetrization — free.
+
+    ``checksum`` (round 5) additionally emits the benchmark-forcing
+    reduction sum(planes) [+ sum(normals)] as a second (1, 128) output
+    (value in lane 0), computed at the last grid step while the full
+    planes sit in VMEM: the external XLA reduce re-reads all three
+    planes plus four shifted height views from HBM (~8-9% of the frame
+    at 512^2), the in-kernel fold reads VMEM. The planes output is
+    written in full either way — only the O(1) forcing scalar moves.
     """
+    if checksum:
+        sum_ref, y_ref = rest
+    else:
+        (y_ref,) = rest
     dot = _make_dot(precision)
     i = pl.program_id(0)
     t = t_ref[0, 0]
@@ -401,25 +435,53 @@ def _packed_grid_kernel(
 
     @pl.when(i == n // block - 1)
     def _col_pass():
+        s = jnp.float32(0.0)
         for k in range(n // col_chunk):
             sl = slice(k * col_chunk, (k + 1) * col_chunk)
             yhr = y_ref[0, 0, :, sl]
             yhi = y_ref[0, 1, :, sl]
             # height: F(H) is exactly real -> 2 dots
-            out_ref[1, :, sl] = (dot(awr, yhr, _DIMS_NN)
-                                 - dot(awi, yhi, _DIMS_NN))
+            hv = dot(awr, yhr, _DIMS_NN) - dot(awi, yhi, _DIMS_NN)
+            out_ref[1, :, sl] = hv
             yzr = y_ref[1, 0, :, sl]
             yzi = y_ref[1, 1, :, sl]
             # Z: Re -> disp_x, Im -> disp_z
-            out_ref[0, :, sl] = (dot(awr, yzr, _DIMS_NN)
-                                 - dot(awi, yzi, _DIMS_NN))
-            out_ref[2, :, sl] = (dot(awr, yzi, _DIMS_NN)
-                                 + dot(awi, yzr, _DIMS_NN))
+            xv = dot(awr, yzr, _DIMS_NN) - dot(awi, yzi, _DIMS_NN)
+            zv = dot(awr, yzi, _DIMS_NN) + dot(awi, yzr, _DIMS_NN)
+            out_ref[0, :, sl] = xv
+            out_ref[2, :, sl] = zv
+            if checksum:
+                s = s + jnp.sum(xv) + jnp.sum(hv) + jnp.sum(zv)
+        if checksum and normals_scale is not None:
+            # Normals contribution off the VMEM-resident height plane,
+            # chunked over row bands to bound transient VMEM (~1 MB at
+            # 64-row chunks); boundary rows wrap via static ref slices.
+            nch = min(n, 64)
+            for r0 in range(0, n, nch):
+                hc = out_ref[1, r0:r0 + nch, :]
+                up = (out_ref[1, r0 - 1:r0, :] if r0 > 0
+                      else out_ref[1, n - 1:n, :])
+                dn = (out_ref[1, r0 + nch:r0 + nch + 1, :] if r0 + nch < n
+                      else out_ref[1, 0:1, :])
+                z0 = jnp.concatenate([up, hc[:-1]], axis=0)
+                z1 = jnp.concatenate([hc[1:], dn], axis=0)
+                x0 = jnp.concatenate([hc[:, -1:], hc[:, :-1]], axis=1)
+                x1 = jnp.concatenate([hc[:, 1:], hc[:, :1]], axis=1)
+                s = s + jnp.sum(_normals_checksum_terms(
+                    x0, x1, z0, z1, n, normals_scale))
+        if checksum:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            sum_ref[0:1, :] = jnp.where(lane == 0, s, jnp.float32(0.0))
 
 
 def _packed_single_fields(h0_pair, omega, t_arr, config: OceanConfig,
-                          n: int, interpret: bool) -> jnp.ndarray:
-    """Packed-transform fused step for N <= 512 (see _packed_grid_kernel)."""
+                          n: int, interpret: bool, checksum: bool = False,
+                          normals_scale: float | None = None):
+    """Packed-transform fused step for N <= 512 (see _packed_grid_kernel).
+
+    With ``checksum`` returns ``(planes, sums)`` where ``sums`` is a
+    (1, 128) f32 carrying the forcing reduction in lane 0 (the kernel's
+    docstring); the planes output is materialized either way."""
     from gfx_ocean_tpu.ops.propagate import precompute_propagate_packed  # noqa: PLC0415
 
     pre, pre_rho, omega_rho = precompute_propagate_packed(
@@ -435,11 +497,21 @@ def _packed_single_fields(h0_pair, omega, t_arr, config: OceanConfig,
         wrap_k=config.compat.wrap_k,
         ref_sign=config.compat.ref_sign,
         precision=config.matmul_precision,
+        checksum=checksum,
+        normals_scale=normals_scale,
     )
-    planes = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((3, n, n), jnp.float32)
+    out_spec = pl.BlockSpec((3, n, n), lambda i: (0, 0, 0), memory_space=vmem)
+    if checksum:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((1, 128), jnp.float32)]
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, 128), lambda i: (0, 0),
+                                 memory_space=vmem)]
+    out = pl.pallas_call(
         kernel,
         grid=(n // block,),
-        out_shape=jax.ShapeDtypeStruct((3, n, n), jnp.float32),
+        out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((4, block, n), lambda i: (0, i, 0), memory_space=vmem),
@@ -449,18 +521,18 @@ def _packed_single_fields(h0_pair, omega, t_arr, config: OceanConfig,
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=vmem),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=vmem),
         ],
-        out_specs=pl.BlockSpec((3, n, n), lambda i: (0, 0, 0),
-                               memory_space=vmem),
+        out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((2, 2, n, n), jnp.float32)],
         interpret=interpret,
         compiler_params=_VMEM_HINT,
         cost_estimate=pl.CostEstimate(
             flops=2 * 14 * n * n * n,
             bytes_accessed=(10 + 2 + 3) * n * n * 4,
-            transcendentals=4 * n * n,
+            transcendentals=(4 + (1 if checksum and normals_scale else 0))
+            * n * n,
         ),
     )(t_arr, pre, pre_rho, omega, omega_rho, awr, awi)
-    return planes
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -693,8 +765,11 @@ def _fourstep_col_kernel(
     ttr_ref, tti_ref,   # (N1, N2)
     out_ref,        # VMEM (3, N, C) f32 — (disp_x, height, disp_z)
                     # ((1, 3, N, C) when time-batched)
-    *,
+    *rest,          # when checksum: sums_ref (1, 128) f32 out
+                    #                + seam_ref (N, 4) f32 scratch
     n: int, n1: int, n2: int, precision: str,
+    nbands: int = 0, checksum: bool = False,
+    normals_scale: float | None = None,
 ):
     """Four-step column pass, real/complex out, for one column band.
 
@@ -702,7 +777,28 @@ def _fourstep_col_kernel(
     (see the row kernel's docstring — the (N2, N2) stage-2 matrix alone
     fills 6% of the MXU at 4096^2; stacked it fills 25% and the dot
     count halves). The stage-1 operand [X_r; X_i] is a PURE VIEW of the
-    y block ((2, N, C) -> (2*n1, n2*C) groups plane-major over m1)."""
+    y block ((2, N, C) -> (2*n1, n2*C) groups plane-major over m1).
+
+    ``checksum`` (round 5) folds the benchmark-forcing reduction
+    sum(planes) [+ sum(normals)] into this pass: the external XLA reduce
+    re-reads all three field planes plus four shifted height views from
+    HBM (~0.63 ms/step at 4096^2, 12% of the step — the roofline's
+    "other" bucket), the in-kernel fold sums the band values it just
+    computed. Each band writes its partial into its own lane of
+    ``sums_ref`` (bands <= 128 by the N <= 16384 plan guard); the caller
+    sums lanes. Normal contributions are band-local in y (all rows
+    present) but the x-derivative crosses bands, so the two edge columns
+    are masked out of the band reduce and handled with a one-band lag
+    through ``seam_ref`` (prev band's last two height columns, plus band
+    0's first two for the final wrap) — TPU grid steps run sequentially,
+    so the scratch carry is well-defined. The PLANES stay bit-identical
+    across tb variants (their dots are untouched); the checksum itself
+    agrees only to reassociation tolerance (XLA lowers the band reduces
+    with program-dependent vectorization — measured ~1-2 ulp between the
+    tb=1 and batched programs on identical band values). The planes
+    output is written in full either way."""
+    if checksum:
+        sums_ref, seam_ref = rest
     dot = _make_dot(precision)
     w1cat = w1cat_ref[:, :]
     w2cat = w2cat_ref[:, :]
@@ -749,6 +845,65 @@ def _fourstep_col_kernel(
         out_ref[0, 0], out_ref[0, 1], out_ref[0, 2] = x_out, h_out, z_out
     else:
         out_ref[0], out_ref[1], out_ref[2] = x_out, h_out, z_out
+
+    if not checksum:
+        return
+    b = pl.program_id(1) if batched else pl.program_id(0)
+    s = jnp.sum(x_out) + jnp.sum(h_out) + jnp.sum(z_out)
+    if normals_scale is not None:
+        # Band 0 stores its first two height columns for the final wrap
+        # BEFORE any read (also makes the degenerate nbands == 1 case —
+        # shard-local distributed columns — fall out correctly).
+        @pl.when(b == 0)
+        def _save01():
+            seam_ref[:, 2:4] = h_out[:, 0:2]
+
+        def col_contrib(hl, hc, hr):
+            z0 = jnp.concatenate([hc[-1:], hc[:-1]], axis=0)
+            z1 = jnp.concatenate([hc[1:], hc[:1]], axis=0)
+            return jnp.sum(_normals_checksum_terms(
+                hl, hr, z0, z1, n, normals_scale))
+
+        # Interior columns: in-band rolls, edge lanes masked out of the
+        # reduce (their x-neighbors live in adjacent bands).
+        x0 = jnp.concatenate([h_out[:, -1:], h_out[:, :-1]], axis=1)
+        x1 = jnp.concatenate([h_out[:, 1:], h_out[:, :1]], axis=1)
+        z0 = jnp.concatenate([h_out[-1:, :], h_out[:-1, :]], axis=0)
+        z1 = jnp.concatenate([h_out[1:, :], h_out[:1, :]], axis=0)
+        terms = _normals_checksum_terms(x0, x1, z0, z1, n, normals_scale)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1)
+        interior = jnp.logical_and(lane >= 1, lane <= cb - 2)
+        s = s + jnp.sum(jnp.where(interior, terms, jnp.float32(0.0)))
+
+        prev_last2 = seam_ref[:, 0:1]
+        prev_last = seam_ref[:, 1:2]
+        saved0 = seam_ref[:, 2:3]
+        saved1 = seam_ref[:, 3:4]
+        own0 = h_out[:, 0:1]
+        own1 = h_out[:, 1:2]
+        own_l = h_out[:, cb - 1:cb]
+        own_l2 = h_out[:, cb - 2:cb - 1]
+        # b > 0: this band's first column + the previous band's deferred
+        # last column (seam reads at b == 0 hit stale/uninitialized
+        # scratch — computed anyway, discarded by the select).
+        e_first = col_contrib(prev_last, own0, own1)
+        e_prev = col_contrib(prev_last2, prev_last, own0)
+        s = s + jnp.where(b > 0, e_first + e_prev, jnp.float32(0.0))
+        # Last band: its own last column wraps to saved col 0, and global
+        # col 0 (deferred from band 0) wraps back to this band's last.
+        e_last = col_contrib(own_l2, own_l, saved0)
+        e_zero = col_contrib(own_l, saved0, saved1)
+        s = s + jnp.where(b == nbands - 1, e_last + e_zero,
+                          jnp.float32(0.0))
+        seam_ref[:, 0:2] = h_out[:, cb - 2:cb]
+
+    @pl.when(b == 0)
+    def _init_sums():
+        sums_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32)
+
+    slane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    sums_ref[0:1, :] = sums_ref[0:1, :] + jnp.where(
+        slane == b, s, jnp.float32(0.0))
 
 
 def _fourstep_bands(n: int):
@@ -940,7 +1095,9 @@ def _fourstep_row_call(t2, pre, pre_rho, omega_p, omega_rho, tabs,
 
 
 def _fourstep_col_call(y, tabs, config: OceanConfig, n: int, n1: int,
-                       n2: int, cblock: int, interpret: bool) -> jnp.ndarray:
+                       n2: int, cblock: int, interpret: bool,
+                       checksum: bool = False,
+                       normals_scale: float | None = None):
     """Column-pass pallas_call over the (possibly shard-local) columns of
     ``y``. The column kernel has no column-position dependence (its tables
     are per-ROW), so any contiguous column band computes locally.
@@ -949,47 +1106,65 @@ def _fourstep_col_call(y, tabs, config: OceanConfig, n: int, n1: int,
     frame on grid dim 0, writing (tb, 3, N, C) directly — per-frame col
     calls + ``jnp.stack`` would materialize tb extra (3, N, N) copies
     (pallas outputs cannot be fusion-written into a concat buffer), ~2
-    ms/frame of pure HBM copy at 8192^2."""
+    ms/frame of pure HBM copy at 8192^2.
+
+    With ``checksum`` additionally returns a (tb, 128) f32 of per-band
+    forcing partials (the col kernel's docstring); the caller sums the
+    lanes per frame."""
     cols = y.shape[-1]
+    nbands = cols // cblock
     vmem = pltpu.VMEM
     col_kernel = functools.partial(
         _fourstep_col_kernel, n=n, n1=n1, n2=n2,
-        precision=config.matmul_precision)
+        precision=config.matmul_precision,
+        nbands=nbands, checksum=checksum, normals_scale=normals_scale)
     tabspec = pl.BlockSpec(memory_space=vmem)
     tb = y.shape[0] if y.ndim == 5 else 1
     if y.ndim == 4:
-        grid = (cols // cblock,)
+        grid = (nbands,)
         out_shape = jax.ShapeDtypeStruct((3, n, cols), jnp.float32)
         in_spec = pl.BlockSpec((2, 2, n, cblock), lambda j: (0, 0, 0, j),
                                memory_space=vmem)
         out_spec = pl.BlockSpec((3, n, cblock), lambda j: (0, 0, j),
                                 memory_space=vmem)
+        sums_shape = jax.ShapeDtypeStruct((1, 128), jnp.float32)
+        sums_spec = pl.BlockSpec((1, 128), lambda j: (0, 0),
+                                 memory_space=vmem)
     else:
-        grid = (tb, cols // cblock)
+        grid = (tb, nbands)
         out_shape = jax.ShapeDtypeStruct((tb, 3, n, cols), jnp.float32)
         in_spec = pl.BlockSpec((1, 2, 2, n, cblock),
                                lambda f, j: (f, 0, 0, 0, j),
                                memory_space=vmem)
         out_spec = pl.BlockSpec((1, 3, n, cblock), lambda f, j: (f, 0, 0, j),
                                 memory_space=vmem)
-    return pl.pallas_call(
+        sums_shape = jax.ShapeDtypeStruct((tb, 128), jnp.float32)
+        sums_spec = pl.BlockSpec((1, 128), lambda f, j: (f, 0),
+                                 memory_space=vmem)
+    out_shapes = [out_shape, sums_shape] if checksum else out_shape
+    out_specs = [out_spec, sums_spec] if checksum else out_spec
+    scratch = ([pltpu.VMEM((n, 4), jnp.float32)] if checksum else [])
+    out = pl.pallas_call(
         col_kernel,
         grid=grid,
-        out_shape=out_shape,
+        out_shape=out_shapes,
+        out_specs=out_specs,
         in_specs=[in_spec, tabspec, tabspec, tabspec, tabspec, tabspec],
-        out_specs=out_spec,
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_VMEM_HINT,
         cost_estimate=pl.CostEstimate(
             flops=tb * 2 * 3 * 4 * cblock * n * (n1 + n2),
             bytes_accessed=tb * (4 * n * cblock + 3 * n * cblock) * 4,
-            transcendentals=0,
+            transcendentals=tb * n * cols if checksum else 0,
         ),
     )(y, *tabs)
+    return out
 
 
 def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
-                     interpret: bool) -> jnp.ndarray:
+                     interpret: bool, checksum: bool = False,
+                     normals_scale: float | None = None):
     """Two-kernel four-step pipeline for N >= 1024: fused packed propagate
     + row pass (grid over row bands), column pass (grid over column bands).
     Both passes emit true index order (header comment), so the (2, 2, N, N)
@@ -1013,7 +1188,8 @@ def _fourstep_fields(h0_pair, omega, t_arr, config: OceanConfig, n: int,
     # tb > 1: y is (tb, 2, 2, N, N) and the col call batches the frame on
     # its grid, writing (tb, 3, N, N) directly (no stack copies).
     return _fourstep_col_call(y, col_tabs, config, n, n1, n2, cblock,
-                              interpret)
+                              interpret, checksum=checksum,
+                              normals_scale=normals_scale)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
@@ -1125,6 +1301,70 @@ def pallas_planes_batch(
         return _fourstep_fields(h0_pair, omega, t_arr, config, n, interpret)
     return jax.vmap(
         lambda tt: pallas_planes(h0_pair, omega, tt, config, interpret))(ts)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def pallas_checksums(
+    h0_pair: jnp.ndarray,
+    omega: jnp.ndarray,
+    ts: jnp.ndarray,
+    config: OceanConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Benchmark-forcing checksums for ``tb`` frames: ts (tb,) -> (tb,).
+
+    Per frame: sum(planes) + sum(normals) (the latter when
+    ``config.compute_normals``) — the O(1)-per-frame reduction the
+    checksum rollout (``models.make_rollout(keep_fields=False)``) scans
+    over. On the default packed/four-step kernels the reduction rides the
+    kernels' final pass (the ``checksum`` kernel flag): every field plane
+    is still computed and materialized to HBM exactly as in
+    :func:`pallas_planes` — an unread custom-call output is still written
+    — but the forcing sum reads VMEM instead of re-streaming ~5 field
+    planes from HBM (measured 12% of the step at 4096^2, docs/BENCH.md
+    round-5 roofline "other" bucket). Unpacked N <= 512 configs
+    (``hermitian_pack=False``) keep the external XLA reduce.
+
+    The f32 accumulation order differs from the external reduce (band
+    partials vs XLA's tree), so values agree with the external formula —
+    and across time-batch variants, whose reduces XLA vectorizes
+    program-dependently (measured ~1-2 ulp) — only to reassociation
+    tolerance. The field planes themselves stay bit-identical across tb
+    variants (``pallas_planes_batch``'s contract, tested).
+    """
+    if h0_pair.ndim != 3:
+        raise ValueError(
+            "pallas planes/fields take a single unbatched state; vmap for cascades")
+    n = h0_pair.shape[-1]
+    ts = jnp.reshape(ts.astype(jnp.float32), (-1,))
+    tb = ts.shape[0]
+    nscale = (float(config.normal_height_scale)
+              if config.compute_normals else None)
+    if n > 512:
+        _, sums = _fourstep_fields(
+            h0_pair, omega, jnp.reshape(ts, (1, tb)), config, n, interpret,
+            checksum=True, normals_scale=nscale)
+        return jnp.sum(sums, axis=-1)
+    if config.hermitian_pack:
+        def one(t):
+            _, sums = _packed_single_fields(
+                h0_pair, omega, jnp.reshape(t, (1, 1)), config, n,
+                interpret, checksum=True, normals_scale=nscale)
+            return jnp.sum(sums)
+        return jax.vmap(one)(ts)
+
+    # Unpacked / blocked fallback: external reduction over the planes.
+    from gfx_ocean_tpu.ops.derived import (  # noqa: PLC0415
+        finite_difference_normals_planes)
+
+    def one_ext(t):
+        planes = pallas_planes(h0_pair, omega, t, config, interpret)
+        out = jnp.sum(planes, dtype=jnp.float32)
+        if nscale is not None:
+            normals = finite_difference_normals_planes(planes[1], nscale)
+            out = out + jnp.sum(normals, dtype=jnp.float32)
+        return out
+    return jax.vmap(one_ext)(ts)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))

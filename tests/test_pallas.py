@@ -188,17 +188,15 @@ def test_pallas_fourstep_fused_stage2_matches_split():
 
 def test_pallas_rollout_time_batch_matches_single(state128, monkeypatch):
     """make_rollout(time_batch=2) on the pallas checksum path must agree
-    with time_batch=1 (the 128^2 grid takes the vmap fallback; the
-    four-step in-kernel batch is covered bit-exactly above)."""
+    with time_batch=1 (both route through the in-kernel forcing reduction
+    of ops.pallas_step.pallas_checksums; agreement is reassociation-level,
+    its docstring)."""
     import gfx_ocean_tpu.ops.pallas_step as ps
 
-    orig_planes, orig_batch = ps.pallas_planes, ps.pallas_planes_batch
+    orig_cks = ps.pallas_checksums
     monkeypatch.setattr(
-        ps, "pallas_planes",
-        lambda h0, om, t, cfg, interpret=False: orig_planes(h0, om, t, cfg, True))
-    monkeypatch.setattr(
-        ps, "pallas_planes_batch",
-        lambda h0, om, ts, cfg, interpret=False: orig_batch(h0, om, ts, cfg, True))
+        ps, "pallas_checksums",
+        lambda h0, om, ts, cfg, interpret=False: orig_cks(h0, om, ts, cfg, True))
     cfg = ot.OceanConfig(resolution=128, fft_impl="pallas",
                          matmul_precision="highest", compute_normals=False)
     ts = jnp.arange(4, dtype=jnp.float32) * 0.7 + 1.0
@@ -206,6 +204,92 @@ def test_pallas_rollout_time_batch_matches_single(state128, monkeypatch):
     b = np.asarray(ot.make_rollout(cfg, keep_fields=False,
                                    time_batch=2)(state128, ts))
     np.testing.assert_allclose(a, b, rtol=2e-6)
+
+
+def test_pallas_checksums_match_external(state128):
+    """Round 5: the in-kernel forcing reduction (the packed <= 512 grid
+    kernel's ``checksum`` output) must equal the external formula
+    sum(planes) + sum(normals). The reference-state checksum nearly
+    cancels (~-5 from ~1e4-magnitude summand groups), so the yardstick
+    is the SUMMAND scale sum(|...|), not the cancelled total: a formula
+    bug (wrong neighbor column, dropped band) shifts the value by
+    ~N * O(1) contributions, reassociation noise measured ~2.5e-3."""
+    from gfx_ocean_tpu.ops.derived import finite_difference_normals_planes
+    from gfx_ocean_tpu.ops.pallas_step import pallas_checksums, pallas_planes
+
+    ts = jnp.asarray([0.3, 1.7], jnp.float32)
+    cfg_n = ot.OceanConfig(resolution=128, fft_impl="pallas")
+    cfg_p = ot.OceanConfig(resolution=128, fft_impl="pallas",
+                           compute_normals=False)
+    assert cfg_n.hermitian_pack
+    got_n = np.asarray(pallas_checksums(state128.h0, state128.omega, ts,
+                                        cfg_n, interpret=True))
+    got_p = np.asarray(pallas_checksums(state128.h0, state128.omega, ts,
+                                        cfg_p, interpret=True))
+    for j, t in enumerate(np.asarray(ts)):
+        planes = pallas_planes(state128.h0, state128.omega, jnp.float32(t),
+                               cfg_n, interpret=True)
+        want_planes = float(jnp.sum(planes, dtype=jnp.float32))
+        plane_scale = float(jnp.sum(jnp.abs(planes), dtype=jnp.float32))
+        normals = finite_difference_normals_planes(
+            planes[1], cfg_n.normal_height_scale)
+        want_normals = float(jnp.sum(normals, dtype=jnp.float32))
+        norm_scale = float(jnp.sum(jnp.abs(normals), dtype=jnp.float32))
+        # plane-sum part (compute_normals=False kernel)
+        assert abs(got_p[j] - want_planes) < 1e-5 * plane_scale
+        # normals part, isolated by differencing the two kernel variants
+        got_normals = got_n[j] - got_p[j]
+        assert abs(got_normals - want_normals) < 1e-5 * norm_scale + 0.05
+
+
+def test_pallas_checksums_unpacked_fallback(state128):
+    """hermitian_pack=False at N <= 512 has no checksum kernel; the
+    fallback reduces externally and must agree with the packed kernel's
+    value to field accuracy (both sum the same fields — the 14- vs
+    18-dot transforms differ at the ~1e-5 field level, so compare on
+    the summand scale)."""
+    from gfx_ocean_tpu.ops.pallas_step import pallas_checksums, pallas_planes
+
+    ts = jnp.asarray([2.0], jnp.float32)
+    cfg_p = ot.OceanConfig(resolution=128, fft_impl="pallas")
+    cfg_u = ot.OceanConfig(resolution=128, fft_impl="pallas",
+                           hermitian_pack=False)
+    a = np.asarray(pallas_checksums(state128.h0, state128.omega, ts, cfg_p,
+                                    interpret=True))
+    b = np.asarray(pallas_checksums(state128.h0, state128.omega, ts, cfg_u,
+                                    interpret=True))
+    planes = pallas_planes(state128.h0, state128.omega, ts[0], cfg_p,
+                           interpret=True)
+    scale = float(jnp.sum(jnp.abs(planes), dtype=jnp.float32))
+    assert abs(a[0] - b[0]) < 2e-4 * scale
+
+
+@pytest.mark.slow
+def test_pallas_checksums_fourstep_1024():
+    """The four-step col kernel's in-kernel checksum (band partials +
+    seam-deferred edge-column normals) vs the external formula, and the
+    time-batched variant vs single frames (reassociation tolerance —
+    the col kernel docstring)."""
+    from gfx_ocean_tpu.ops.derived import finite_difference_normals_planes
+    from gfx_ocean_tpu.ops.pallas_step import pallas_checksums, pallas_planes
+
+    rng = np.random.default_rng(17)
+    n = 1024
+    h0 = jnp.asarray(rng.standard_normal((2, n, n)).astype(np.float32) * 0.01)
+    om = jnp.asarray((np.abs(rng.standard_normal((n, n))) + 0.1).astype(np.float32))
+    cfg = ot.OceanConfig(resolution=n, fft_impl="pallas")
+    ts = jnp.asarray([0.3, 1.7], jnp.float32)
+    batch = np.asarray(pallas_checksums(h0, om, ts, cfg, interpret=True))
+    single = np.asarray(pallas_checksums(h0, om, ts[0:1], cfg, interpret=True))
+    planes = pallas_planes(h0, om, ts[0], cfg, interpret=True)
+    normals = finite_difference_normals_planes(planes[1],
+                                               cfg.normal_height_scale)
+    want = float(jnp.sum(planes, dtype=jnp.float32)
+                 + jnp.sum(normals, dtype=jnp.float32))
+    scale = float(jnp.sum(jnp.abs(planes), dtype=jnp.float32)
+                  + jnp.sum(jnp.abs(normals), dtype=jnp.float32))
+    assert abs(batch[0] - single[0]) < 1e-6 * scale
+    assert abs(batch[0] - want) < 1e-5 * scale
 
 
 def test_pallas_rejects_batched(state128):
